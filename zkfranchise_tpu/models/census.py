@@ -1,0 +1,486 @@
+"""zkCensus circuit family: native constraint builder + batched witness gen.
+
+Re-implements the statement of /root/reference/circuit/census.circom:49-115
+as a native R1CS (models/r1cs.py) plus a JAX witness generator vectorized
+over a voter batch — replacing circom's compiler AND the WASM witness
+calculator (/root/reference/zk_census_test.go:89) in one step.
+
+Statement proven (same as the reference circuit):
+  1. voteWeight <= availableWeight                 (census.circom:69-72)
+  2. sik = Poseidon(address, password, signature)  (census.circom:74-77)
+  3. (address -> sik) included under sikRoot       (census.circom:79-90)
+  4. (address -> availableWeight) under censusRoot (census.circom:92-103)
+  5. nullifier == Poseidon(signature, password,
+                           electionId[0..1])       (census.circom:105-114)
+  6. voteHash[2] present in the witness, unconstrained (census.circom:54-57)
+
+Public-signal order matches the reference exactly (template declaration
+order filtered by the main public list, confirmed by
+artifacts/zkCensus/dev/160/signals.json): electionId[0], electionId[1],
+nullifier, voteHash[0], voteHash[1], sikRoot, censusRoot, voteWeight.
+
+The SMT-inclusion gadget enforces the same statement as circomlib
+SMTVerifier in inclusion mode (fnc=0, enabled=1): the leaf depth d is the
+witness' choice of a one-hot level selector, all siblings at depth >= d are
+constrained to zero, and the leaf->root hash chain (with LSB-first key bits
+choosing child order) must equal the root.  Leaf hashes are domain-separated
+from node hashes by arity (Poseidon(k,v,1) vs Poseidon(l,r)), as in
+circomlib/arbo.
+
+Internal signal layout is our own canonical one (no circom .r1cs/.zkey blob
+exists to be compatible with — the reference's proving key is stripped per
+.MISSING_LARGE_BLOBS); every gadget allocates a contiguous block and the
+witness generator fills the same blocks in the same order, which the R1CS
+satisfaction test locks down.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ff, limbs
+from ..ops.limbs import FR, N_LIMBS
+from ..ops.poseidon import _mix, _sbox, _tables
+from ..ops.poseidon_constants import N_ROUNDS_F, N_ROUNDS_P, constants
+from . import r1cs
+from .r1cs import LC, lc, lc_add, lc_const, lc_scale, lc_sub
+
+P = ff.P_FR
+
+
+# ---------------------------------------------------------------------------
+# build-side gadgets (symbolic)
+# ---------------------------------------------------------------------------
+
+def _build_sbox(cs: r1cs.ConstraintSystem, x: LC) -> LC:
+    _, y2 = cs.mul(x, x)
+    _, y4 = cs.mul(y2, y2)
+    _, y5 = cs.mul(y4, x)
+    return y5
+
+
+def build_poseidon(cs: r1cs.ConstraintSystem, inputs: list[LC]) -> LC:
+    """Poseidon gadget; allocates 3 signals per sbox in round-major,
+    lane-major, (x2,x4,x5)-minor order.  Returns the output LC."""
+    t = len(inputs) + 1
+    c, m = constants(t)
+    r_f, r_p = N_ROUNDS_F, N_ROUNDS_P[t - 2]
+    half = r_f // 2
+    state = [lc_const(0)] + list(inputs)
+    for r in range(r_f + r_p):
+        state = [lc_add(state[i], lc_const(c[r * t + i])) for i in range(t)]
+        if r < half or r >= half + r_p:
+            state = [_build_sbox(cs, x) for x in state]
+        else:
+            state[0] = _build_sbox(cs, state[0])
+        state = [
+            functools.reduce(lc_add,
+                             (lc_scale(state[j], m[i][j]) for j in range(t)))
+            for i in range(t)
+        ]
+    return state[0]
+
+
+def build_num2bits(cs: r1cs.ConstraintSystem, x: LC, n: int) -> int:
+    """Allocates n bit signals (LSB first), enforces booleanity and the
+    recomposition sum.  Returns the start index of the bit block."""
+    start = cs.alloc(n)
+    acc: LC = {}
+    for i in range(n):
+        cs.enforce_bit(start + i)
+        acc = lc_add(acc, lc((start + i, 1 << i)))
+    cs.enforce_linear(acc, x)
+    return start
+
+
+def build_leq_const(cs: r1cs.ConstraintSystem, bit_start: int, n: int,
+                    c_val: int) -> int:
+    """Enforce that the n-bit value (bits at bit_start, LSB first) is <= c_val.
+    Allocates one eq-chain signal per 1-bit of c_val, MSB->LSB order.
+    Returns the number of allocated signals."""
+    eq: LC = lc_const(1)
+    n_alloc = 0
+    for i in range(n - 1, -1, -1):
+        bi = lc((bit_start + i, 1))
+        if (c_val >> i) & 1:
+            _, eq = cs.mul(eq, bi)
+            n_alloc += 1
+        else:
+            cs.enforce(eq, bi, {})
+    return n_alloc
+
+
+def build_smt_inclusion(cs: r1cs.ConstraintSystem, key_bit_start: int,
+                        key_lc: LC, value_lc: LC, root_lc: LC,
+                        sibling_start: int, n_sib: int) -> None:
+    """Merkle-inclusion gadget over the arbo/circomlib truncated SMT.
+    Allocation order: lev[n_sib+1] | leaf-poseidon block | c_top mult |
+    per level i = n_sib-1 .. 0: [switch mult | node-poseidon block |
+    m1 | m2]."""
+    L = n_sib
+    lev_start = cs.alloc(L + 1)
+    lev_sum: LC = {}
+    for i in range(L + 1):
+        cs.enforce_bit(lev_start + i)
+        lev_sum = lc_add(lev_sum, lc((lev_start + i, 1)))
+    cs.enforce_linear(lev_sum, lc_const(1))
+    # after_i = sum_{j<=i} lev_j ; siblings at depth >= d must be zero
+    after: list[LC] = []
+    acc: LC = {}
+    for i in range(L):
+        acc = lc_add(acc, lc((lev_start + i, 1)))
+        after.append(dict(acc))
+        cs.enforce(lc((sibling_start + i, 1)), acc, {})
+
+    leaf = build_poseidon(cs, [key_lc, value_lc, lc_const(1)])
+
+    # c_L = lev_L * leaf
+    _, c_next = cs.mul(lc((lev_start + L, 1)), leaf)
+    for i in range(L - 1, -1, -1):
+        s_i = lc((sibling_start + i, 1))
+        b_i = lc((key_bit_start + i, 1))
+        _, m_sw = cs.mul(b_i, lc_sub(s_i, c_next))
+        left = lc_add(c_next, m_sw)
+        right = lc_sub(lc_add(s_i, c_next), left)
+        h_i = build_poseidon(cs, [left, right])
+        _, m1 = cs.mul(lc((lev_start + i, 1)), leaf)
+        _, m2 = cs.mul(lc_sub(lc_const(1), after[i]), h_i)
+        c_next = lc_add(m1, m2)
+    cs.enforce_linear(c_next, root_lc)
+
+
+# ---------------------------------------------------------------------------
+# circuit assembly
+# ---------------------------------------------------------------------------
+
+N_PUBLIC = 8
+# public input indices (1-based after the constant):
+IDX_EID0, IDX_EID1, IDX_NULLIFIER, IDX_VOTEHASH0, IDX_VOTEHASH1, \
+    IDX_SIKROOT, IDX_CENSUSROOT, IDX_VOTEWEIGHT = range(1, 9)
+IDX_AVAILWEIGHT, IDX_ADDRESS, IDX_PASSWORD, IDX_SIGNATURE = range(9, 13)
+FIRST_SIBLING = 13
+
+KEY_BITS = 254
+WEIGHT_BITS = 253  # LessEqThan(252) decomposes a 253-bit value
+
+
+def build_census_cs(n_levels: int) -> r1cs.ConstraintSystem:
+    """Constraint system for ZkFranchiseProofCircuit(n_levels).
+    Sibling arrays have length n_levels+1 (census.circom:50,66-67)."""
+    L = n_levels + 1
+    cs = r1cs.ConstraintSystem(num_public=N_PUBLIC)
+    cs.alloc(12 + 2 * L)  # publics + scalar privates + sibling arrays
+    cens_sib = FIRST_SIBLING
+    sik_sib = FIRST_SIBLING + L
+
+    one = lc_const(1)
+    vw = lc((IDX_VOTEWEIGHT, 1))
+    aw = lc((IDX_AVAILWEIGHT, 1))
+    addr = lc((IDX_ADDRESS, 1))
+    pwd = lc((IDX_PASSWORD, 1))
+    sig = lc((IDX_SIGNATURE, 1))
+
+    # 1. weight check: bits of E = vw + 2^252 - 1 - aw, top bit must be 0
+    e_lc = lc_add(lc_sub(vw, aw), lc_const((1 << 252) - 1))
+    wstart = build_num2bits(cs, e_lc, WEIGHT_BITS)
+    cs.enforce_zero(lc((wstart + WEIGHT_BITS - 1, 1)))
+
+    # 2. address bit decomposition, strict (value < r)
+    abits = build_num2bits(cs, addr, KEY_BITS)
+    build_leq_const(cs, abits, KEY_BITS, P - 1)
+
+    # 3. SIK = Poseidon(address, password, signature)
+    sik_out = build_poseidon(cs, [addr, pwd, sig])
+
+    # 4. SIK tree inclusion
+    build_smt_inclusion(cs, abits, addr, sik_out,
+                        lc((IDX_SIKROOT, 1)), sik_sib, L)
+
+    # 5. census tree inclusion
+    build_smt_inclusion(cs, abits, addr, aw,
+                        lc((IDX_CENSUSROOT, 1)), cens_sib, L)
+
+    # 6. nullifier
+    null_out = build_poseidon(cs, [sig, pwd,
+                                   lc((IDX_EID0, 1)), lc((IDX_EID1, 1))])
+    cs.enforce_linear(null_out, lc((IDX_NULLIFIER, 1)))
+    _ = one
+    return cs
+
+
+# ---------------------------------------------------------------------------
+# eval-side gadgets (JAX, Montgomery limb form, batched)
+# ---------------------------------------------------------------------------
+
+def bits_from_limbs(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Plain-form limb array (..., 16) -> (..., n) 0/1 uint32, LSB first."""
+    limb_idx = np.arange(n) // limbs.LIMB_BITS
+    shift = np.asarray(np.arange(n) % limbs.LIMB_BITS, dtype=np.uint32)
+    return (x[..., limb_idx] >> shift) & 1
+
+
+def _bits_to_mont(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., n) 0/1 -> (..., n, 16) Montgomery field elements."""
+    one = jnp.asarray(FR.one_mont)
+    return jnp.where((bits == 1)[..., None], one, jnp.uint32(0))
+
+
+def eval_poseidon_trace(inputs_mont: jnp.ndarray):
+    """Poseidon with sbox-intermediate capture.
+    inputs_mont: (..., k, 16) -> (out (..., 16), trace (..., n_sbox*3, 16))
+    trace order matches build_poseidon allocation order."""
+    k = inputs_mont.shape[-2]
+    t = k + 1
+    c_mont, m_mont = _tables(t)
+    c_arr, m_arr = jnp.asarray(c_mont), jnp.asarray(m_mont)
+    r_f, r_p = N_ROUNDS_F, N_ROUNDS_P[t - 2]
+    half = r_f // 2
+    zero = jnp.zeros((*inputs_mont.shape[:-2], 1, N_LIMBS), dtype=jnp.uint32)
+    state = jnp.concatenate([zero, inputs_mont], axis=-2)
+
+    def sbox_trace(x):
+        x2 = limbs.mont_mul(x, x, FR)
+        x4 = limbs.mont_mul(x2, x2, FR)
+        x5 = limbs.mont_mul(x4, x, FR)
+        # (..., lanes, 3, 16) -> flatten lanes*3
+        tr = jnp.stack([x2, x4, x5], axis=-2)
+        return x5, tr.reshape(*tr.shape[:-3], -1, N_LIMBS)
+
+    def full_round(st, c_r):
+        st = limbs.add(st, c_r, FR)
+        st, tr = sbox_trace(st)
+        return _mix(st, m_arr), tr
+
+    def partial_round(st, c_r):
+        st = limbs.add(st, c_r, FR)
+        s0, tr = sbox_trace(st[..., 0:1, :])
+        st = jnp.concatenate([s0, st[..., 1:, :]], axis=-2)
+        return _mix(st, m_arr), tr
+
+    def scan_phase(fn, st, cs_slice):
+        # manual scan keeping batch dims trailing-safe: use lax.scan with
+        # the round axis leading on constants, batch handled by closure.
+        def body(carry, c_r):
+            new, tr = fn(carry, c_r)
+            return new, tr
+        return jax.lax.scan(body, st, cs_slice)
+
+    state, tr1 = scan_phase(full_round, state, c_arr[:half])
+    state, tr2 = scan_phase(partial_round, state, c_arr[half:half + r_p])
+    state, tr3 = scan_phase(full_round, state, c_arr[half + r_p:])
+
+    def _flat(tr):
+        # (rounds, ..., per_round, 16) -> (..., rounds*per_round, 16)
+        tr = jnp.moveaxis(tr, 0, -3)
+        return tr.reshape(*tr.shape[:-3], -1, N_LIMBS)
+
+    trace = jnp.concatenate([_flat(tr1), _flat(tr2), _flat(tr3)], axis=-2)
+    return state[..., 0, :], trace
+
+
+def eval_leq_const_trace(bits: jnp.ndarray, c_val: int, n: int) -> jnp.ndarray:
+    """(..., n) 0/1 bits -> (..., n_ones, 16) eq-chain signals in
+    MSB->LSB order over positions where c_val has a 1-bit."""
+    ones_pos = [i for i in range(n - 1, -1, -1) if (c_val >> i) & 1]
+    sel = bits[..., np.asarray(ones_pos)]          # (..., n_ones) in MSB order
+    eqs = jnp.cumprod(sel, axis=-1)
+    return _bits_to_mont(eqs)
+
+
+def eval_smt_trace(key_bits: jnp.ndarray, key_mont: jnp.ndarray,
+                   value_mont: jnp.ndarray, siblings_plain: jnp.ndarray,
+                   siblings_mont: jnp.ndarray):
+    """Witness block for build_smt_inclusion.
+    key_bits: (..., >=L) 0/1; key/value mont (..., 16);
+    siblings (..., L, 16).  Returns (..., block_len, 16)."""
+    L = siblings_plain.shape[-2]
+    one = jnp.asarray(FR.one_mont)
+
+    nz = jnp.any(siblings_plain != 0, axis=-1)          # (..., L)
+    # depth d = last nonzero index + 1  (0 if none)
+    idx = jnp.arange(1, L + 1, dtype=jnp.int32)
+    d = jnp.max(jnp.where(nz, idx, 0), axis=-1)          # (...,)
+    lev = (jnp.arange(L + 1, dtype=jnp.int32) == d[..., None]).astype(jnp.uint32)
+    after = jnp.cumsum(lev[..., :L], axis=-1)            # (..., L) 0/1
+    lev_mont = _bits_to_mont(lev)
+    after_mont = _bits_to_mont(after)
+
+    leaf, leaf_tr = eval_poseidon_trace(
+        jnp.stack([key_mont, value_mont,
+                   jnp.broadcast_to(one, key_mont.shape)], axis=-2))
+
+    c_top = limbs.mont_mul(lev_mont[..., L, :], leaf, FR)
+
+    # scan levels i = L-1 .. 0
+    def body(c_next, xs):
+        s_m, b_m, lev_m, after_m = xs
+        m_sw = limbs.mont_mul(b_m, limbs.sub(s_m, c_next, FR), FR)
+        left = limbs.add(c_next, m_sw, FR)
+        right = limbs.sub(limbs.add(s_m, c_next, FR), left, FR)
+        h, h_tr = eval_poseidon_trace(jnp.stack([left, right], axis=-2))
+        m1 = limbs.mont_mul(lev_m, leaf, FR)
+        m2 = limbs.mont_mul(limbs.sub(jnp.broadcast_to(one, after_m.shape),
+                                      after_m, FR), h, FR)
+        c_i = limbs.add(m1, m2, FR)
+        block = jnp.concatenate(
+            [m_sw[..., None, :], h_tr, m1[..., None, :], m2[..., None, :]],
+            axis=-2)
+        return c_i, block
+
+    bit_mont = _bits_to_mont(key_bits[..., :L])
+    # move level axis to front for scan, reversed (i descending)
+    def lead(x):
+        return jnp.moveaxis(x, -2, 0)[::-1]
+
+    xs = (lead(siblings_mont), lead(bit_mont), lead(lev_mont[..., :L, :]),
+          lead(after_mont))
+    root, blocks = jax.lax.scan(body, c_top, xs)
+    # blocks: (L, ..., per_level, 16) in i-descending order
+    blocks = jnp.moveaxis(blocks, 0, -3)
+    blocks = blocks.reshape(*blocks.shape[:-3], -1, N_LIMBS)
+    full = jnp.concatenate(
+        [lev_mont, leaf_tr, c_top[..., None, :], blocks], axis=-2)
+    return root, full
+
+
+# ---------------------------------------------------------------------------
+# full witness generator
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CensusCircuit:
+    n_levels: int
+
+    @functools.cached_property
+    def cs(self) -> r1cs.ConstraintSystem:
+        return build_census_cs(self.n_levels)
+
+    @functools.cached_property
+    def arrays(self):
+        return self.cs.export_arrays()
+
+    @property
+    def sibling_len(self) -> int:
+        return self.n_levels + 1
+
+    def witness(self, inputs: dict) -> jnp.ndarray:
+        """Batched witness generation.
+
+        inputs: dict of plain-form limb arrays —
+          'electionId'  (..., 2, 16), 'nullifier' (..., 16),
+          'availableWeight', 'voteHash' (..., 2, 16), 'sikRoot',
+          'censusRoot', 'address', 'password', 'signature', 'voteWeight',
+          'censusSiblings' (..., L, 16), 'sikSiblings' (..., L, 16).
+        Returns the witness (..., num_vars, 16) in Montgomery form.
+        """
+        L = self.sibling_len
+        m = limbs.to_mont
+        eid = m(inputs["electionId"])
+        nullifier = m(inputs["nullifier"])
+        aw_plain = inputs["availableWeight"]
+        aw = m(aw_plain)
+        votehash = m(inputs["voteHash"])
+        sik_root = m(inputs["sikRoot"])
+        census_root = m(inputs["censusRoot"])
+        addr_plain = inputs["address"]
+        addr = m(addr_plain)
+        pwd = m(inputs["password"])
+        sig = m(inputs["signature"])
+        vw_plain = inputs["voteWeight"]
+        vw = m(vw_plain)
+        cens_sib_plain = inputs["censusSiblings"]
+        sik_sib_plain = inputs["sikSiblings"]
+        cens_sib = m(cens_sib_plain)
+        sik_sib = m(sik_sib_plain)
+
+        batch = addr.shape[:-1]
+        one_mont = jnp.broadcast_to(jnp.asarray(FR.one_mont),
+                                    (*batch, N_LIMBS))
+
+        parts = [
+            one_mont[..., None, :],
+            eid[..., 0, :][..., None, :], eid[..., 1, :][..., None, :],
+            nullifier[..., None, :],
+            votehash[..., 0, :][..., None, :],
+            votehash[..., 1, :][..., None, :],
+            sik_root[..., None, :], census_root[..., None, :],
+            vw[..., None, :], aw[..., None, :], addr[..., None, :],
+            pwd[..., None, :], sig[..., None, :],
+            cens_sib, sik_sib,
+        ]
+
+        # 1. weight bits: E = vw + 2^252 - 1 - aw  (plain arithmetic)
+        e_const = limbs.int_to_limbs((1 << 252) - 1)
+        e_val = limbs.add(limbs.sub(vw_plain, aw_plain, FR),
+                          jnp.broadcast_to(jnp.asarray(e_const),
+                                           vw_plain.shape), FR)
+        wbits = bits_from_limbs(e_val, WEIGHT_BITS)
+        parts.append(_bits_to_mont(wbits))
+
+        # 2. address bits + strict eq chain
+        abits = bits_from_limbs(addr_plain, KEY_BITS)
+        parts.append(_bits_to_mont(abits))
+        parts.append(eval_leq_const_trace(abits, P - 1, KEY_BITS))
+
+        # 3. SIK poseidon
+        sik_out, sik_tr = eval_poseidon_trace(
+            jnp.stack([addr, pwd, sig], axis=-2))
+        parts.append(sik_tr)
+
+        # 4. SIK tree
+        _, sik_block = eval_smt_trace(abits, addr, sik_out,
+                                      sik_sib_plain, sik_sib)
+        parts.append(sik_block)
+
+        # 5. census tree
+        _, cens_block = eval_smt_trace(abits, addr, aw,
+                                       cens_sib_plain, cens_sib)
+        parts.append(cens_block)
+
+        # 6. nullifier poseidon
+        _, null_tr = eval_poseidon_trace(
+            jnp.stack([sig, pwd, eid[..., 0, :], eid[..., 1, :]], axis=-2))
+        parts.append(null_tr)
+
+        w = jnp.concatenate(parts, axis=-2)
+        assert w.shape[-2] == self.cs.num_vars, (
+            w.shape, self.cs.num_vars)
+        return w
+
+    def public_signals(self, w: jnp.ndarray) -> jnp.ndarray:
+        """(..., 8, 16) plain form, reference signal order."""
+        return limbs.from_mont(w[..., 1:1 + N_PUBLIC, :])
+
+
+def inputs_to_limbs(inp: dict, n_levels: int) -> dict:
+    """Decimal-string/int input dict (reference inputs_example.json schema,
+    /root/reference/internal/inputs.go:14-31) -> plain limb arrays."""
+    L = n_levels + 1
+
+    def one(x):
+        return limbs.int_to_limbs(int(x))
+
+    def many(xs):
+        return limbs.ints_to_limbs([int(x) for x in xs])
+
+    cs_ = [int(x) for x in inp["censusSiblings"]][:L]
+    ss = [int(x) for x in inp["sikSiblings"]][:L]
+    assert len(cs_) == L and len(ss) == L
+    return {
+        "electionId": many(inp["electionId"]),
+        "nullifier": one(inp["nullifier"]),
+        "availableWeight": one(inp["availableWeight"]),
+        "voteHash": many(inp["voteHash"]),
+        "sikRoot": one(inp["sikRoot"]),
+        "censusRoot": one(inp["censusRoot"]),
+        "address": one(inp["address"]),
+        "password": one(inp["password"]),
+        "signature": one(inp["signature"]),
+        "voteWeight": one(inp["voteWeight"]),
+        "censusSiblings": many(cs_),
+        "sikSiblings": many(ss),
+    }
