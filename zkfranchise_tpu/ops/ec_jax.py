@@ -1,0 +1,272 @@
+"""Device (JAX) elliptic-curve point arithmetic for BN254 G1 and G2.
+
+Points are homogeneous projective (X:Y:Z) with the COMPLETE addition
+formulas of Renes–Costello–Batina 2015 (Algorithm 7, a=0): one branch-free
+formula covers generic addition, doubling, and the identity (0:1:0).
+Branch-free completeness is exactly what TPU wants — the same formula is
+vmapped over batches and used as the combiner of `lax.associative_scan`
+for Pippenger bucket accumulation (ops/msm.py).
+
+G1 coordinates live in Fq (limb arrays (..., 16)); G2 coordinates in
+Fq2 = Fq[u]/(u^2+1) (pairs of limb arrays, shape (..., 2, 16)).
+
+Replaces the CPU curve arithmetic inside go-rapidsnark/snarkjs
+(SURVEY.md §2b, "BN254 field & curve arithmetic").  Host oracle: ops/ec.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ec, ff, limbs
+from .limbs import FQ, N_LIMBS
+
+
+class G1Point(NamedTuple):
+    """Projective G1 point; coords in Montgomery limb form, shape (..., 16)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+class G2Point(NamedTuple):
+    """Projective G2 point; Fq2 coords shape (..., 2, 16), Montgomery form."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# field helpers (Fq and Fq2 with a uniform interface)
+# ---------------------------------------------------------------------------
+
+def _fq_mul(a, b):
+    return limbs.mont_mul(a, b, FQ)
+
+
+def _fq_add(a, b):
+    return limbs.add(a, b, FQ)
+
+
+def _fq_sub(a, b):
+    return limbs.sub(a, b, FQ)
+
+
+def _fq2_mul(a, b):
+    """(..., 2, 16) x (..., 2, 16): (a0+a1 u)(b0+b1 u), u^2 = -1.
+    Karatsuba: 3 Fq muls."""
+    a0, a1 = a[..., 0, :], a[..., 1, :]
+    b0, b1 = b[..., 0, :], b[..., 1, :]
+    v0 = _fq_mul(a0, b0)
+    v1 = _fq_mul(a1, b1)
+    s = _fq_mul(_fq_add(a0, a1), _fq_add(b0, b1))
+    re = _fq_sub(v0, v1)
+    im = _fq_sub(_fq_sub(s, v0), v1)
+    return jnp.stack([re, im], axis=-2)
+
+
+def _fq2_add(a, b):
+    return jnp.stack([_fq_add(a[..., 0, :], b[..., 0, :]),
+                      _fq_add(a[..., 1, :], b[..., 1, :])], axis=-2)
+
+
+def _fq2_sub(a, b):
+    return jnp.stack([_fq_sub(a[..., 0, :], b[..., 0, :]),
+                      _fq_sub(a[..., 1, :], b[..., 1, :])], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+def _mont_q(x: int) -> np.ndarray:
+    return limbs.int_to_limbs(x * (1 << limbs.R_BITS) % ff.P_FQ)
+
+
+@functools.lru_cache(maxsize=None)
+def _b3_g1() -> np.ndarray:
+    return _mont_q(9)  # 3*b, b=3
+
+
+@functools.lru_cache(maxsize=None)
+def _b3_g2() -> np.ndarray:
+    b3 = ec.fq2_scalar(ec.B2, 3)
+    return np.stack([_mont_q(b3[0]), _mont_q(b3[1])])
+
+
+def g1_identity(batch=()) -> G1Point:
+    zero = jnp.zeros((*batch, N_LIMBS), dtype=jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(FQ.one_mont), (*batch, N_LIMBS))
+    return G1Point(zero, one, zero)
+
+
+def g2_identity(batch=()) -> G2Point:
+    zero = jnp.zeros((*batch, 2, N_LIMBS), dtype=jnp.uint32)
+    one = jnp.zeros((*batch, 2, N_LIMBS), dtype=jnp.uint32
+                    ).at[..., 0, :].set(jnp.asarray(FQ.one_mont))
+    return G2Point(zero, one, zero)
+
+
+# ---------------------------------------------------------------------------
+# complete addition (RCB15 Algorithm 7, a = 0)
+# ---------------------------------------------------------------------------
+
+def _padd(p, q, fmul, fadd, fsub, b3):
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = fmul(x1, x2)
+    t1 = fmul(y1, y2)
+    t2 = fmul(z1, z2)
+    t3 = fadd(x1, y1)
+    t4 = fadd(x2, y2)
+    t3 = fmul(t3, t4)
+    t4 = fadd(t0, t1)
+    t3 = fsub(t3, t4)
+    t4 = fadd(y1, z1)
+    x3 = fadd(y2, z2)
+    t4 = fmul(t4, x3)
+    x3 = fadd(t1, t2)
+    t4 = fsub(t4, x3)
+    x3 = fadd(x1, z1)
+    y3 = fadd(x2, z2)
+    x3 = fmul(x3, y3)
+    y3 = fadd(t0, t2)
+    y3 = fsub(x3, y3)
+    x3 = fadd(t0, t0)
+    t0 = fadd(x3, t0)
+    t2 = fmul(b3, t2)
+    z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    y3 = fmul(b3, y3)
+    x3 = fmul(t4, y3)
+    t2 = fmul(t3, t1)
+    x3 = fsub(t2, x3)
+    y3 = fmul(y3, t0)
+    t1 = fmul(t1, z3)
+    y3 = fadd(t1, y3)
+    t0 = fmul(t0, t3)
+    z3 = fmul(z3, t4)
+    z3 = fadd(z3, t0)
+    return x3, y3, z3
+
+
+def g1_add(p: G1Point, q: G1Point) -> G1Point:
+    b3 = jnp.asarray(_b3_g1())
+    return G1Point(*_padd(p, q, _fq_mul, _fq_add, _fq_sub, b3))
+
+
+def g2_add(p: G2Point, q: G2Point) -> G2Point:
+    b3 = jnp.asarray(_b3_g2())
+    return G2Point(*_padd(p, q, _fq2_mul, _fq2_add, _fq2_sub, b3))
+
+
+def g1_double(p: G1Point) -> G1Point:
+    return g1_add(p, p)
+
+
+def g2_double(p: G2Point) -> G2Point:
+    return g2_add(p, p)
+
+
+def g1_neg(p: G1Point) -> G1Point:
+    return G1Point(p.x, limbs.neg(p.y, FQ), p.z)
+
+
+def g2_neg(p: G2Point) -> G2Point:
+    return G2Point(p.x, limbs.neg(p.y, FQ), p.z)
+
+
+def g1_select(cond, p: G1Point, q: G1Point) -> G1Point:
+    """cond (...,) bool: p where true else q."""
+    c = cond[..., None]
+    return G1Point(jnp.where(c, p.x, q.x), jnp.where(c, p.y, q.y),
+                   jnp.where(c, p.z, q.z))
+
+
+def g2_select(cond, p: G2Point, q: G2Point) -> G2Point:
+    c = cond[..., None, None]
+    return G2Point(jnp.where(c, p.x, q.x), jnp.where(c, p.y, q.y),
+                   jnp.where(c, p.z, q.z))
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+# ---------------------------------------------------------------------------
+
+def g1_from_affine_host(points: list) -> G1Point:
+    """List of affine (x, y) tuples or None -> stacked projective device
+    arrays in Montgomery form."""
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(1)
+    r = 1 << limbs.R_BITS
+    q = ff.P_FQ
+    to = lambda vals: jnp.asarray(limbs.ints_to_limbs([v * r % q for v in vals]))
+    return G1Point(to(xs), to(ys), to(zs))
+
+
+def g2_from_affine_host(points: list) -> G2Point:
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append((0, 0))
+            ys.append((1, 0))
+            zs.append((0, 0))
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append((1, 0))
+    r = 1 << limbs.R_BITS
+    q = ff.P_FQ
+
+    def to(vals):
+        flat = []
+        for a, b in vals:
+            flat.append(a * r % q)
+            flat.append(b * r % q)
+        return jnp.asarray(limbs.ints_to_limbs(flat)).reshape(-1, 2, N_LIMBS)
+
+    return G2Point(to(xs), to(ys), to(zs))
+
+
+def g1_to_affine_host(p: G1Point):
+    """Single (or batched) device point -> list of affine tuples / None."""
+    x = np.asarray(limbs.from_mont(p.x, FQ)).reshape(-1, N_LIMBS)
+    y = np.asarray(limbs.from_mont(p.y, FQ)).reshape(-1, N_LIMBS)
+    z = np.asarray(limbs.from_mont(p.z, FQ)).reshape(-1, N_LIMBS)
+    out = []
+    for xi, yi, zi in zip(limbs.limbs_to_ints(x), limbs.limbs_to_ints(y),
+                          limbs.limbs_to_ints(z)):
+        if zi == 0:
+            out.append(None)
+        else:
+            zinv = ff.inv_mod(zi, ff.P_FQ)
+            out.append((xi * zinv % ff.P_FQ, yi * zinv % ff.P_FQ))
+    return out
+
+
+def g2_to_affine_host(p: G2Point):
+    x = np.asarray(limbs.from_mont(p.x, FQ)).reshape(-1, 2, N_LIMBS)
+    y = np.asarray(limbs.from_mont(p.y, FQ)).reshape(-1, 2, N_LIMBS)
+    z = np.asarray(limbs.from_mont(p.z, FQ)).reshape(-1, 2, N_LIMBS)
+    out = []
+    for xi, yi, zi in zip(x, y, z):
+        xt = (limbs.limbs_to_int(xi[0]), limbs.limbs_to_int(xi[1]))
+        yt = (limbs.limbs_to_int(yi[0]), limbs.limbs_to_int(yi[1]))
+        zt = (limbs.limbs_to_int(zi[0]), limbs.limbs_to_int(zi[1]))
+        if zt == (0, 0):
+            out.append(None)
+        else:
+            zinv = ec.fq2_inv(zt)
+            out.append((ec.fq2_mul(xt, zinv), ec.fq2_mul(yt, zinv)))
+    return out

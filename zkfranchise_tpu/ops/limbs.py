@@ -1,20 +1,26 @@
 """TPU-native multi-limb modular arithmetic for BN254 (JAX, vectorized).
 
-Design: TPUs have no native 64-bit integer path worth using, so a 254-bit
-field element is represented as 16 little-endian limbs of 16 bits each,
-stored in uint32 lanes, shape ``(..., 16)``.  All products of two limbs fit
-exactly in uint32 ((2^16-1)^2 < 2^32) and column sums stay below 2^23, so the
-whole Montgomery pipeline runs in uint32 with deterministic wraparound-free
-arithmetic.  Values are kept in Montgomery form (R = 2^256) on device.
+Design: TPUs have no native 64-bit integer path, so a 254-bit field element
+is 16 little-endian limbs of 16 bits in uint32 lanes, shape ``(..., 16)``.
+The pipeline is built from three TPU-friendly primitives:
 
-Every function broadcasts over arbitrary leading batch dimensions, which is
-how voter-batch data parallelism is expressed: a batch of field elements is a
-``(batch, 16)`` array and `jax.vmap`/sharding applies on the leading axes.
+  * limb-product accumulation as an f32 MATMUL against a constant 0/1
+    column matrix (exact: all partial sums < 2^24), so the MXU — not the
+    VPU — carries the multiplier throughput;
+  * full-word Montgomery reduction (m = T_lo * (-p^-1 mod 2^256) mod 2^256,
+    then (T + m*p) >> 256), which has NO sequential limb recurrence, unlike
+    CIOS — everything is two more matmul products;
+  * Kogge-Stone parallel carry/borrow resolution (log-depth flag scan)
+    instead of 16-step ripple chains.
 
-Replaces the bigint field arithmetic the reference delegates to snarkjs
-(wasm) and go-rapidsnark (Go) — see SURVEY.md §2b row "BN254 field & curve
-arithmetic"; the Fr modulus constant is the one at
-/root/reference/internal/helpers.go:15.
+No scatters, no data-dependent control flow: every op is elementwise or a
+matmul, so the whole field layer vmaps/shards cleanly over voter batches.
+
+Values are kept in Montgomery form (R = 2^256) on device.
+
+Replaces the bigint arithmetic the reference delegates to snarkjs (wasm)
+and go-rapidsnark (Go) — SURVEY.md §2b "BN254 field & curve arithmetic";
+the Fr modulus is the constant at /root/reference/internal/helpers.go:15.
 """
 from __future__ import annotations
 
@@ -31,6 +37,7 @@ N_LIMBS = 16
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 R_BITS = N_LIMBS * LIMB_BITS  # Montgomery R = 2^256
+WIDE = 2 * N_LIMBS + 1        # 33 columns for a full product
 
 
 def int_to_limbs(x: int) -> np.ndarray:
@@ -42,7 +49,8 @@ def int_to_limbs(x: int) -> np.ndarray:
 
 def ints_to_limbs(xs) -> np.ndarray:
     """Iterable of ints -> (n, 16) uint32."""
-    return np.stack([int_to_limbs(int(x)) for x in xs], axis=0)
+    return np.stack([int_to_limbs(int(x)) for x in xs], axis=0) \
+        if len(xs) else np.zeros((0, N_LIMBS), np.uint32)
 
 
 def limbs_to_int(a) -> int:
@@ -51,7 +59,6 @@ def limbs_to_int(a) -> int:
 
 
 def limbs_to_ints(a) -> list:
-    """(n,16) array -> list of Python ints."""
     a = np.asarray(a)
     flat = a.reshape(-1, N_LIMBS)
     return [limbs_to_int(row) for row in flat]
@@ -59,31 +66,31 @@ def limbs_to_ints(a) -> list:
 
 class FieldSpec(NamedTuple):
     """Static per-field constants (baked into traced programs)."""
-    p: int                 # modulus as Python int
-    p_limbs: np.ndarray    # (16,) uint32
-    n0: int                # -p^{-1} mod 2^16
-    r_mod_p: int           # R mod p
-    r2_limbs: np.ndarray   # R^2 mod p, plain limbs (for to_mont)
-    one_mont: np.ndarray   # R mod p (Montgomery form of 1)
-    p_minus_2_bits: np.ndarray  # (254,) uint32 bits of p-2, LSB first (for inv)
+    p: int
+    p_limbs: np.ndarray        # (16,) uint32
+    p_comp_limbs: np.ndarray   # 2^256 - p, for borrow-free comparisons
+    nprime_limbs: np.ndarray   # -p^{-1} mod 2^256
+    r_mod_p: int
+    r2_limbs: np.ndarray       # R^2 mod p (plain limbs)
+    one_mont: np.ndarray       # R mod p
+    p_minus_2_bits: np.ndarray
 
 
 @functools.lru_cache(maxsize=None)
 def make_field(p: int) -> FieldSpec:
     r = 1 << R_BITS
-    n0 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
-    r_mod_p = r % p
-    r2 = (r * r) % p
-    nbits = p.bit_length()
+    nprime = (-pow(p, -1, r)) % r
     e = p - 2
-    bits = np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    bits = np.array([(e >> i) & 1 for i in range(p.bit_length())],
+                    dtype=np.uint32)
     return FieldSpec(
         p=p,
         p_limbs=int_to_limbs(p),
-        n0=n0,
-        r_mod_p=r_mod_p,
-        r2_limbs=int_to_limbs(r2),
-        one_mont=int_to_limbs(r_mod_p),
+        p_comp_limbs=int_to_limbs(r - p),
+        nprime_limbs=int_to_limbs(nprime),
+        r_mod_p=r % p,
+        r2_limbs=int_to_limbs(r * r % p),
+        one_mont=int_to_limbs(r % p),
         p_minus_2_bits=bits,
     )
 
@@ -93,114 +100,138 @@ FQ = make_field(ff.P_FQ)
 
 
 # ---------------------------------------------------------------------------
-# basic limb helpers
+# carry resolution (Kogge-Stone, log-depth, no ripple loops)
 # ---------------------------------------------------------------------------
 
-def zeros_like_batch(shape_prefix) -> jnp.ndarray:
-    return jnp.zeros((*shape_prefix, N_LIMBS), dtype=jnp.uint32)
+def _shift_right_one(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Along last axis: out[k] = x[k-1], out[0] = 0."""
+    return jnp.pad(x[..., :n - 1], [(0, 0)] * (x.ndim - 1) + [(1, 0)])
 
 
-def _carry_prop(t: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Sequentially propagate carries over the first n limb positions."""
-    for k in range(n - 1):
-        carry = t[..., k] >> LIMB_BITS
-        t = t.at[..., k + 1].add(carry)
-        t = t.at[..., k].set(t[..., k] & LIMB_MASK)
-    return t
+def _normalize(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve carries: t (..., W) uint32 limbs each < 2^23 ->
+    (normalized limbs < 2^16, carry_out flag (...,) uint32 0/1).
+    The dropped carry_out is the 2^(16W) overflow bit."""
+    w = t.shape[-1]
+    # two local rounds: limbs -> <= 2^16; record top-limb carry drops
+    extra = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for _ in range(2):
+        lo = t & LIMB_MASK
+        hi = t >> LIMB_BITS
+        extra = extra + hi[..., w - 1]
+        t = lo + _shift_right_one(hi, w)
+    g = t >> LIMB_BITS              # generate (0/1)
+    d = t & LIMB_MASK
+    p = (d == LIMB_MASK).astype(jnp.uint32)  # propagate
+    # Kogge-Stone aggregation of (g, p) over prefixes
+    shift = 1
+    while shift < w:
+        gs = jnp.pad(g[..., :w - shift],
+                     [(0, 0)] * (g.ndim - 1) + [(shift, 0)])
+        ps = jnp.pad(p[..., :w - shift],
+                     [(0, 0)] * (p.ndim - 1) + [(shift, 0)],
+                     constant_values=1)
+        g = g | (p & gs)
+        p = p & ps
+        shift *= 2
+    carry_in = _shift_right_one(g, w)
+    out = (d + carry_in) & LIMB_MASK
+    carry_out = g[..., w - 1] + extra
+    return out, carry_out
 
 
-def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """a - b limbwise; returns (diff, final_borrow). Inputs normalized (<2^16)."""
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for k in range(N_LIMBS):
-        ak = a[..., k]
-        bk = b[..., k] + borrow
-        borrow = (ak < bk).astype(jnp.uint32)
-        out.append((ak + (borrow << LIMB_BITS)) - bk)
-    return jnp.stack(out, axis=-1), borrow
+# ---------------------------------------------------------------------------
+# wide products via constant matmul
+# ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _col_matrix() -> np.ndarray:
+    """(512, 33) 0/1 f32: routes lo(i,j) -> col i+j, hi(i,j) -> col i+j+1."""
+    m = np.zeros((2 * N_LIMBS * N_LIMBS, WIDE), dtype=np.float32)
+    for i in range(N_LIMBS):
+        for j in range(N_LIMBS):
+            m[i * N_LIMBS + j, i + j] = 1.0
+            m[N_LIMBS * N_LIMBS + i * N_LIMBS + j, i + j + 1] = 1.0
+    return m
+
+
+def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product columns: a, b (..., 16) normalized -> (..., 33) uint32
+    column sums (each < 2^21)."""
+    prod = a[..., :, None] * b[..., None, :]           # exact in uint32
+    lo = (prod & LIMB_MASK).astype(jnp.float32)
+    hi = (prod >> LIMB_BITS).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [lo.reshape(*lo.shape[:-2], N_LIMBS * N_LIMBS),
+         hi.reshape(*hi.shape[:-2], N_LIMBS * N_LIMBS)], axis=-1)
+    cols = jax.lax.dot_general(
+        flat, jnp.asarray(_col_matrix()),
+        dimension_numbers=(((flat.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return cols.astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# modular add / sub / compare
+# ---------------------------------------------------------------------------
 
 def _cond_sub_p(r: jnp.ndarray, fs: FieldSpec) -> jnp.ndarray:
-    """If r >= p, return r - p, else r. r must be < 2p and normalized."""
-    p = jnp.asarray(fs.p_limbs)
-    diff, borrow = _sub_limbs(r, jnp.broadcast_to(p, r.shape))
-    keep = (borrow == 1)[..., None]
-    return jnp.where(keep, r, diff)
+    """r < 2p normalized -> r mod p, via borrow-free complement-add."""
+    s = r + jnp.asarray(fs.p_comp_limbs)
+    s_norm, cout = _normalize(s)
+    return jnp.where((cout == 1)[..., None], s_norm, r)
 
-
-# ---------------------------------------------------------------------------
-# modular add / sub / neg
-# ---------------------------------------------------------------------------
 
 def add(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    t = a + b  # limbwise, <= 2^17 per limb
-    t = _carry_prop(t, N_LIMBS)
-    # top limb may hold a 17th bit; fold it into the comparison by treating
-    # the value as-is: since a,b < p < 2^254, sum < 2p < 2^255 fits 16 limbs.
+    t, _ = _normalize(a + b)
+    # carry_out impossible: a + b < 2p < 2^256
     return _cond_sub_p(t, fs)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    diff, borrow = _sub_limbs(a, b)
-    # if borrowed, add p back (the mod-2^256 wrap is dropped by masking the
-    # top limb after propagation: (a - b + 2^256) + p == a - b + p mod 2^256)
-    t = diff + jnp.asarray(fs.p_limbs) * borrow[..., None]
-    t = _carry_prop(t, N_LIMBS)
-    t = t.at[..., N_LIMBS - 1].set(t[..., N_LIMBS - 1] & LIMB_MASK)
-    return t
+    # a - b = a + ~b + 1 - 2^256; carry_out <=> a >= b
+    comp_b = jnp.uint32(LIMB_MASK) - b
+    one0 = np.zeros(N_LIMBS, np.uint32)
+    one0[0] = 1
+    t = a + comp_b + jnp.asarray(one0)
+    s, cout = _normalize(t)
+    wrapped, _ = _normalize(s + jnp.asarray(fs.p_limbs))  # a - b + p (mod 2^256)
+    return jnp.where((cout == 1)[..., None], s, wrapped)
 
 
 def neg(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
     z = jnp.zeros_like(a)
     res = sub(z, a, fs)
-    # keep -0 == 0
     nonzero = jnp.any(a != 0, axis=-1, keepdims=True)
     return jnp.where(nonzero, res, z)
 
 
 # ---------------------------------------------------------------------------
-# Montgomery multiplication
+# Montgomery multiplication (full-word reduction, no limb recurrence)
 # ---------------------------------------------------------------------------
 
+def mont_reduce_wide(cols: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
+    """cols: (..., 33) column sums (< 2^23) of a value T < p*R.
+    Returns T * R^{-1} mod p, normalized limbs."""
+    t, _ = _normalize(cols)                       # (..., 33), limbs < 2^16
+    m_cols = _mul_wide(t[..., :N_LIMBS], jnp.asarray(fs.nprime_limbs))
+    m_norm, _ = _normalize(m_cols)
+    m = m_norm[..., :N_LIMBS]                     # mod 2^256
+    mp = _mul_wide(m, jnp.asarray(fs.p_limbs))    # (..., 33)
+    total, _ = _normalize(t + mp)                 # T + m*p, divisible by R
+    res = total[..., N_LIMBS:2 * N_LIMBS]         # >> 256; < 2p
+    return _cond_sub_p(res, fs)
+
+
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    """Montgomery product: a*b*R^{-1} mod p.  a, b in [0, p)."""
+    """Montgomery product a*b*R^{-1} mod p; a, b normalized in [0, p)."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, (*batch, N_LIMBS))
     b = jnp.broadcast_to(b, (*batch, N_LIMBS))
-
-    t = jnp.zeros((*batch, 2 * N_LIMBS + 1), dtype=jnp.uint32)
-    # schoolbook product, columns accumulated with lo/hi splits
-    for i in range(N_LIMBS):
-        prod = a[..., i:i + 1] * b  # (..., 16) exact in uint32
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
-        t = t.at[..., i:i + N_LIMBS].add(lo)
-        t = t.at[..., i + 1:i + N_LIMBS + 1].add(hi)
-    # column sums <= 32 * (2^16-1) < 2^21
-
-    p = jnp.asarray(fs.p_limbs)
-    n0 = jnp.uint32(fs.n0)
-    # Montgomery reduction: zero out the low 16 limbs
-    for i in range(N_LIMBS):
-        if i > 0:
-            # fold carry out of the previous (now zero mod 2^16) position
-            t = t.at[..., i].add(t[..., i - 1] >> LIMB_BITS)
-        m = (t[..., i] * n0) & LIMB_MASK  # depends only on t[i] mod 2^16
-        prod = m[..., None] * p
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
-        t = t.at[..., i:i + N_LIMBS].add(lo)
-        t = t.at[..., i + 1:i + N_LIMBS + 1].add(hi)
-    t = t.at[..., N_LIMBS].add(t[..., N_LIMBS - 1] >> LIMB_BITS)
-
-    res = t[..., N_LIMBS:2 * N_LIMBS + 1]
-    res = _carry_prop(res, N_LIMBS + 1)
-    # total value < 2p < 2^255, so limb 16 is zero after propagation
-    res = res[..., :N_LIMBS]
-    return _cond_sub_p(res, fs)
+    return mont_reduce_wide(_mul_wide(a, b), fs)
 
 
 def mont_sqr(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
@@ -221,8 +252,7 @@ def from_mont(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def pow_bits(a: jnp.ndarray, bits: np.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    """a^e where e is given as LSB-first bit array (static length).
-    a in Montgomery form; result in Montgomery form."""
+    """a^e, e as LSB-first bit array (static length); Montgomery in/out."""
     bits_arr = jnp.asarray(bits, dtype=jnp.uint32)
     one = jnp.broadcast_to(jnp.asarray(fs.one_mont), a.shape)
 
@@ -230,7 +260,7 @@ def pow_bits(a: jnp.ndarray, bits: np.ndarray, fs: FieldSpec = FR) -> jnp.ndarra
         acc, base = carry
         bit = bits_arr[i]
         mult = mont_mul(acc, base, fs)
-        acc = jnp.where((bit == 1), mult, acc)
+        acc = jnp.where(bit == 1, mult, acc)
         base = mont_mul(base, base, fs)
         return acc, base
 
@@ -248,7 +278,6 @@ def inv(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    """(...,) bool — true where the element is zero (any representation)."""
     return jnp.all(a == 0, axis=-1)
 
 
@@ -257,5 +286,8 @@ def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """cond: (...,) bool; picks a where true else b."""
     return jnp.where(cond[..., None], a, b)
+
+
+def zeros_like_batch(shape_prefix) -> jnp.ndarray:
+    return jnp.zeros((*shape_prefix, N_LIMBS), dtype=jnp.uint32)
