@@ -1,0 +1,118 @@
+"""Benchmark: batched zkCensus Groth16 proving throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): >= 1000 proofs/sec at nlevels=16 on a v5e-16 slice
+== 62.5 proofs/sec/chip.  vs_baseline = measured per-chip proofs/sec / 62.5.
+
+The run proves a real batch (shared census/SIK trees, per-voter Merkle
+proofs), and verifies one sampled proof against the dev verification key to
+guard against benchmarking a broken pipeline.
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+sys.path.insert(0, str(ROOT))
+
+N_LEVELS = int(os.environ.get("BENCH_NLEVELS", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+BASELINE_PER_CHIP = 1000.0 / 16.0
+
+
+def get_or_make_setup(circuit):
+    from zkfranchise_tpu.groth16 import setup as gsetup
+    from zkfranchise_tpu.groth16.verify import VerifyingKey
+
+    d = ROOT / "artifacts" / "zkCensus" / "dev" / str(N_LEVELS)
+    pk_path = d / "proving_key.pkl"
+    vk_path = d / "verification_key.json"
+    if pk_path.exists() and vk_path.exists():
+        pk = gsetup.ProvingKey.load(pk_path)
+        vk = VerifyingKey(json.load(open(vk_path)))
+        return pk, vk
+    t0 = time.time()
+    pk, vk = gsetup.dev_setup(circuit.cs)
+    pk.save(pk_path)
+    with open(vk_path, "w") as f:
+        json.dump(vk.to_dict(), f, indent=1)
+    print(f"# setup generated in {time.time()-t0:.0f}s", file=sys.stderr)
+    return pk, vk
+
+
+def get_or_make_inputs():
+    import numpy as np
+    from zkfranchise_tpu import inputs as inp
+
+    cache = ROOT / "artifacts" / "zkCensus" / "dev" / str(N_LEVELS) / \
+        f"bench_inputs_{BATCH}.npz"
+    if cache.exists():
+        data = np.load(cache)
+        return {k: data[k] for k in data.files}
+    t0 = time.time()
+    batch = inp.mock_batch(N_LEVELS, BATCH, seed=7)
+    arrs = inp.batch_to_arrays(batch, N_LEVELS)
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(cache, **arrs)
+    print(f"# inputs generated in {time.time()-t0:.0f}s", file=sys.stderr)
+    return arrs
+
+
+def main():
+    import jax
+    from zkfranchise_tpu.groth16 import verify as gverify
+    from zkfranchise_tpu.groth16.device import DeviceProver
+    from zkfranchise_tpu.models.census import CensusCircuit
+
+    circuit = CensusCircuit(N_LEVELS)
+    pk, vk = get_or_make_setup(circuit)
+    arrs = get_or_make_inputs()
+    prover = DeviceProver(circuit, pk)
+
+    # warm-up / compile
+    t0 = time.time()
+    proofs, pubs = prover.prove_batch(arrs, seed=1)
+    print(f"# warm-up (incl. compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    ok = gverify.verify(vk, proofs[0], pubs[0])
+    print(f"# sample proof verifies: {ok}", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        pa, pb, pc, publics = prover._prove_jit(
+            arrs, *prover_rs(prover, seed=2 + i))
+    jax.block_until_ready((pa, pb, pc, publics))
+    dt = time.time() - t0
+    proofs_per_sec = BATCH * ITERS / dt
+
+    result = {
+        "metric": f"zkCensus proofs/sec nlevels={N_LEVELS} single-chip "
+                  f"batch={BATCH}",
+        "value": round(proofs_per_sec, 3),
+        "unit": "proofs/s",
+        "vs_baseline": round(proofs_per_sec / BASELINE_PER_CHIP, 4),
+        "verified": bool(ok),
+    }
+    print(json.dumps(result))
+
+
+def prover_rs(prover, seed):
+    import jax.numpy as jnp
+    import numpy as np
+    from zkfranchise_tpu.ops import ff, limbs
+
+    rng = np.random.default_rng(seed)
+    r = [int.from_bytes(rng.bytes(31), "big") % ff.P_FR for _ in range(BATCH)]
+    s = [int.from_bytes(rng.bytes(31), "big") % ff.P_FR for _ in range(BATCH)]
+    return (jnp.asarray(limbs.ints_to_limbs(r)),
+            jnp.asarray(limbs.ints_to_limbs(s)))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,10 +39,16 @@ def test_add_sub_neg(fs, p, gen):
     s = limbs.limbs_to_ints(limbs.add(a, b, fs))
     d = limbs.limbs_to_ints(limbs.sub(a, b, fs))
     ng = limbs.limbs_to_ints(limbs.neg(a, fs))
+    sc = limbs.limbs_to_ints(limbs.add_canonical(a, b, fs))
+    dc = limbs.limbs_to_ints(limbs.sub_canonical(a, b, fs))
     for i in range(n):
-        assert s[i] == (a_int[i] + b_int[i]) % p, i
-        assert d[i] == (a_int[i] - b_int[i]) % p, i
-        assert ng[i] == (-a_int[i]) % p, i
+        # redundant ops: correct class, representative < 2p
+        assert s[i] % p == (a_int[i] + b_int[i]) % p and s[i] < 2 * p, i
+        assert d[i] % p == (a_int[i] - b_int[i]) % p and d[i] < 2 * p, i
+        assert ng[i] % p == (-a_int[i]) % p and ng[i] < 2 * p, i
+        # canonical variants: exact representative
+        assert sc[i] == (a_int[i] + b_int[i]) % p, i
+        assert dc[i] == (a_int[i] - b_int[i]) % p, i
 
 
 @pytest.mark.parametrize("fs,p,gen", [(limbs.FR, ff.P_FR, rand_fr),
@@ -57,7 +63,14 @@ def test_mont_mul(fs, p, gen):
     out = limbs.limbs_to_ints(limbs.mont_mul(a, b, fs))
     rinv = pow(1 << limbs.R_BITS, -1, p)
     for i in range(n):
-        assert out[i] == a_int[i] * b_int[i] * rinv % p, i
+        assert out[i] % p == a_int[i] * b_int[i] * rinv % p, i
+        assert out[i] < 2 * p, i
+    # redundant operands stay closed under multiplication
+    a_red = jnp.asarray(limbs.ints_to_limbs([x + p for x in a_int[:8]]))
+    out2 = limbs.limbs_to_ints(limbs.mont_mul(a_red, b[:8], fs))
+    for i in range(8):
+        assert out2[i] % p == a_int[i] * b_int[i] * rinv % p, i
+        assert out2[i] < 2 * p, i
 
 
 def test_mont_roundtrip():
@@ -81,7 +94,7 @@ def test_inv():
     am = limbs.to_mont(jnp.asarray(limbs.ints_to_limbs(a_int)), limbs.FR)
     iv = limbs.limbs_to_ints(limbs.from_mont(limbs.inv(am, limbs.FR), limbs.FR))
     for i in range(n):
-        assert iv[i] == pow(a_int[i], -1, ff.P_FR), i
+        assert iv[i] == pow(a_int[i], -1, ff.P_FR), i  # from_mont is canonical
     # inv(0) == 0 convention
     z = jnp.zeros((1, limbs.N_LIMBS), dtype=jnp.uint32)
     assert limbs.limbs_to_ints(limbs.inv(z, limbs.FR)) == [0]
@@ -91,7 +104,8 @@ def test_jit_and_vmap_compose():
     a_int, b_int = rand_fr(8), rand_fr(8)
     a = jnp.asarray(limbs.ints_to_limbs(a_int))
     b = jnp.asarray(limbs.ints_to_limbs(b_int))
-    f = jax.jit(lambda x, y: limbs.mont_mul(limbs.add(x, y, limbs.FR), y, limbs.FR))
+    f = jax.jit(lambda x, y: limbs.canon(
+        limbs.mont_mul(limbs.add(x, y, limbs.FR), y, limbs.FR), limbs.FR))
     out = f(a, b)
     rinv = pow(1 << limbs.R_BITS, -1, ff.P_FR)
     expect = [(a_int[i] + b_int[i]) * b_int[i] * rinv % ff.P_FR for i in range(8)]

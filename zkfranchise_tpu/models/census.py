@@ -413,11 +413,12 @@ class CensusCircuit:
             cens_sib, sik_sib,
         ]
 
-        # 1. weight bits: E = vw + 2^252 - 1 - aw  (plain arithmetic)
+        # 1. weight bits: E = vw + 2^252 - 1 - aw  (plain CANONICAL
+        # arithmetic — the bit decomposition needs the [0,p) representative)
         e_const = limbs.int_to_limbs((1 << 252) - 1)
-        e_val = limbs.add(limbs.sub(vw_plain, aw_plain, FR),
-                          jnp.broadcast_to(jnp.asarray(e_const),
-                                           vw_plain.shape), FR)
+        e_val = limbs.add_canonical(
+            limbs.sub_canonical(vw_plain, aw_plain, FR),
+            jnp.broadcast_to(jnp.asarray(e_const), vw_plain.shape), FR)
         wbits = bits_from_limbs(e_val, WEIGHT_BITS)
         parts.append(_bits_to_mont(wbits))
 

@@ -102,26 +102,34 @@ class ConstraintSystem:
         return len(self.constraints)
 
     # -- export -------------------------------------------------------------
-    def export_arrays(self):
-        """Returns dict with, for each of a/b/c: (rows, cols, coeffs_mont)
+    def export_arrays(self, extra_rows=()):
+        """Returns dict with, for each of a/b/c: (rows, cols, coeffs_r2)
         numpy arrays over the nonzero entries, plus shape metadata.
-        coeffs_mont are Montgomery-form limb arrays (nnz, 16)."""
+
+        Coefficients are exported in R^2-form (c * R^2 mod p): the device
+        sparse matvec computes mont_mul(c_r2, w_mont) = c*w*R^2 mod p per
+        entry, segment-sums limbs (sums stay < 2^24 per limb), and a single
+        Montgomery wide-reduction lands the row value in Montgomery form.
+
+        extra_rows: additional (A, B, C) rows appended after the circuit
+        constraints (the prover's public-input binding rows)."""
         out = {}
-        r_mod = limbs.FR.r_mod_p
+        r2 = (limbs.FR.r_mod_p ** 2) % P
+        all_rows = list(self.constraints) + list(extra_rows)
         for name, sel in (("a", 0), ("b", 1), ("c", 2)):
             rows, cols, coeffs = [], [], []
-            for r, con in enumerate(self.constraints):
+            for r, con in enumerate(all_rows):
                 for idx, cf in con[sel].items():
                     rows.append(r)
                     cols.append(idx)
-                    coeffs.append(cf * r_mod % P)
+                    coeffs.append(cf * r2 % P)
             out[name] = (
                 np.asarray(rows, dtype=np.int32),
                 np.asarray(cols, dtype=np.int32),
                 limbs.ints_to_limbs(coeffs) if coeffs
                 else np.zeros((0, limbs.N_LIMBS), np.uint32),
             )
-        out["num_constraints"] = self.num_constraints
+        out["num_constraints"] = len(all_rows)
         out["num_vars"] = self.num_vars
         out["num_public"] = self.num_public
         return out

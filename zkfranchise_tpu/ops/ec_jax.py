@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,56 +112,66 @@ def g2_identity(batch=()) -> G2Point:
 
 
 # ---------------------------------------------------------------------------
-# complete addition (RCB15 Algorithm 7, a = 0)
+# complete addition (RCB15 Algorithm 7, a = 0), lane-batched
+#
+# The formula's 14 field multiplications are grouped into 3 batched calls
+# (6 + 2 + 6 independent lanes) so each call is one wide matmul-backed
+# Montgomery pipeline rather than 14 separate traced pipelines — smaller
+# programs AND better MXU utilization.
 # ---------------------------------------------------------------------------
 
-def _padd(p, q, fmul, fadd, fsub, b3):
+def _padd(p, q, fmul, fadd, fsub, b3, lane_axis):
     x1, y1, z1 = p
     x2, y2, z2 = q
-    t0 = fmul(x1, x2)
-    t1 = fmul(y1, y2)
-    t2 = fmul(z1, z2)
-    t3 = fadd(x1, y1)
-    t4 = fadd(x2, y2)
-    t3 = fmul(t3, t4)
-    t4 = fadd(t0, t1)
-    t3 = fsub(t3, t4)
-    t4 = fadd(y1, z1)
-    x3 = fadd(y2, z2)
-    t4 = fmul(t4, x3)
-    x3 = fadd(t1, t2)
-    t4 = fsub(t4, x3)
-    x3 = fadd(x1, z1)
-    y3 = fadd(x2, z2)
-    x3 = fmul(x3, y3)
-    y3 = fadd(t0, t2)
-    y3 = fsub(x3, y3)
-    x3 = fadd(t0, t0)
-    t0 = fadd(x3, t0)
-    t2 = fmul(b3, t2)
-    z3 = fadd(t1, t2)
-    t1 = fsub(t1, t2)
-    y3 = fmul(b3, y3)
-    x3 = fmul(t4, y3)
-    t2 = fmul(t3, t1)
-    x3 = fsub(t2, x3)
-    y3 = fmul(y3, t0)
-    t1 = fmul(t1, z3)
-    y3 = fadd(t1, y3)
-    t0 = fmul(t0, t3)
-    z3 = fmul(z3, t4)
-    z3 = fadd(z3, t0)
+
+    def stk(*xs):
+        return jnp.stack(xs, axis=lane_axis)
+
+    def unstk(a, k):
+        return [jnp.take(a, i, axis=lane_axis) for i in range(k)]
+
+    # cross sums (one 6-lane add)
+    s = fadd(stk(x1, y1, x1, x2, y2, x2), stk(y1, z1, z1, y2, z2, z2))
+    sx1y1, sy1z1, sx1z1, sx2y2, sy2z2, sx2z2 = unstk(s, 6)
+
+    # products (one 6-lane mul): t0,t1,t2 and the three cross products
+    m = fmul(stk(x1, y1, z1, sx1y1, sy1z1, sx1z1),
+             stk(x2, y2, z2, sx2y2, sy2z2, sx2z2))
+    t0, t1, t2, c1, c2, c3 = unstk(m, 6)
+
+    # pair sums (one 3-lane add), then the three differences (one 3-lane sub)
+    ps = fadd(stk(t0, t1, t0), stk(t1, t2, t2))
+    d = fsub(stk(c1, c2, c3), ps)
+    t3, t4, y3 = unstk(d, 3)
+
+    t0_3 = fadd(fadd(t0, t0), t0)               # 3 * t0
+
+    # b3 products (one 2-lane mul, b3 broadcast over lanes)
+    bb = fmul(stk(t2, y3), jnp.expand_dims(b3, lane_axis))
+    t2b, y3b = unstk(bb, 2)
+
+    zs = fadd(t1, t2b)                          # z3 pre
+    t1n = fsub(t1, t2b)
+
+    # final products (one 6-lane mul)
+    f = fmul(stk(t4, t3, y3b, t1n, t0_3, zs),
+             stk(y3b, t1n, t0_3, zs, t3, t4))
+    x3a, t2c, y3a, t1z, t0t, z3t = unstk(f, 6)
+
+    x3 = fsub(t2c, x3a)
+    fin = fadd(stk(t1z, z3t), stk(y3a, t0t))
+    y3, z3 = unstk(fin, 2)
     return x3, y3, z3
 
 
 def g1_add(p: G1Point, q: G1Point) -> G1Point:
     b3 = jnp.asarray(_b3_g1())
-    return G1Point(*_padd(p, q, _fq_mul, _fq_add, _fq_sub, b3))
+    return G1Point(*_padd(p, q, _fq_mul, _fq_add, _fq_sub, b3, -2))
 
 
 def g2_add(p: G2Point, q: G2Point) -> G2Point:
     b3 = jnp.asarray(_b3_g2())
-    return G2Point(*_padd(p, q, _fq2_mul, _fq2_add, _fq2_sub, b3))
+    return G2Point(*_padd(p, q, _fq2_mul, _fq2_add, _fq2_sub, b3, -3))
 
 
 def g1_double(p: G1Point) -> G1Point:
@@ -190,6 +201,46 @@ def g2_select(cond, p: G2Point, q: G2Point) -> G2Point:
     c = cond[..., None, None]
     return G2Point(jnp.where(c, p.x, q.x), jnp.where(c, p.y, q.y),
                    jnp.where(c, p.z, q.z))
+
+
+# ---------------------------------------------------------------------------
+# scalar multiplication (batched, fixed 256-bit double-and-add)
+# ---------------------------------------------------------------------------
+
+def _scalar_bit(scalar_plain: jnp.ndarray, i) -> jnp.ndarray:
+    """Bit i (traced) of plain limb scalars (..., 16) -> (...,) 0/1."""
+    limb = jax.lax.dynamic_index_in_dim(
+        scalar_plain, i // limbs.LIMB_BITS, axis=-1, keepdims=False)
+    return (limb >> (i % limbs.LIMB_BITS).astype(jnp.uint32)) & 1
+
+
+def g1_scalar_mul(p: G1Point, scalar_plain: jnp.ndarray) -> G1Point:
+    """p: batched point; scalar_plain: (..., 16) plain limb form."""
+    def body(i, carry):
+        acc, base = carry
+        bit = _scalar_bit(scalar_plain, i.astype(jnp.uint32))
+        added = g1_add(acc, base)
+        acc = g1_select(bit == 1, added, acc)
+        base = g1_add(base, base)
+        return acc, base
+
+    acc0 = g1_identity(p.x.shape[:-1])
+    acc, _ = jax.lax.fori_loop(0, 256, body, (acc0, p))
+    return acc
+
+
+def g2_scalar_mul(p: G2Point, scalar_plain: jnp.ndarray) -> G2Point:
+    def body(i, carry):
+        acc, base = carry
+        bit = _scalar_bit(scalar_plain, i.astype(jnp.uint32))
+        added = g2_add(acc, base)
+        acc = g2_select(bit == 1, added, acc)
+        base = g2_add(base, base)
+        return acc, base
+
+    acc0 = g2_identity(p.x.shape[:-2])
+    acc, _ = jax.lax.fori_loop(0, 256, body, (acc0, p))
+    return acc
 
 
 # ---------------------------------------------------------------------------

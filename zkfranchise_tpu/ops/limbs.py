@@ -69,6 +69,8 @@ class FieldSpec(NamedTuple):
     p: int
     p_limbs: np.ndarray        # (16,) uint32
     p_comp_limbs: np.ndarray   # 2^256 - p, for borrow-free comparisons
+    p2_comp_limbs: np.ndarray  # 2^256 - 2p
+    p2_plus1_limbs: np.ndarray  # 2p + 1 (for borrow-free redundant sub)
     nprime_limbs: np.ndarray   # -p^{-1} mod 2^256
     r_mod_p: int
     r2_limbs: np.ndarray       # R^2 mod p (plain limbs)
@@ -87,6 +89,8 @@ def make_field(p: int) -> FieldSpec:
         p=p,
         p_limbs=int_to_limbs(p),
         p_comp_limbs=int_to_limbs(r - p),
+        p2_comp_limbs=int_to_limbs(r - 2 * p),
+        p2_plus1_limbs=int_to_limbs(2 * p + 1),
         nprime_limbs=int_to_limbs(nprime),
         r_mod_p=r % p,
         r2_limbs=int_to_limbs(r * r % p),
@@ -174,37 +178,59 @@ def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # modular add / sub / compare
+#
+# Device values live in the REDUNDANT range [0, 2p): Montgomery products of
+# [0,2p) operands land back in [0,2p) without a conditional subtract
+# (4p^2 < pR for both BN254 moduli), and add/sub re-enter the range with a
+# single conditional subtract of 2p.  Canonical [0,p) form is produced only
+# at boundaries (from_mont / canon) — bit decompositions and host exports.
 # ---------------------------------------------------------------------------
 
-def _cond_sub_p(r: jnp.ndarray, fs: FieldSpec) -> jnp.ndarray:
-    """r < 2p normalized -> r mod p, via borrow-free complement-add."""
-    s = r + jnp.asarray(fs.p_comp_limbs)
+def _cond_sub(r: jnp.ndarray, comp: np.ndarray) -> jnp.ndarray:
+    """If r >= m (where comp = 2^256 - m): r - m, else r. r normalized."""
+    s = r + jnp.asarray(comp)
     s_norm, cout = _normalize(s)
-    return jnp.where((cout == 1)[..., None], s_norm, r)
+    return jnp.where((cout >= 1)[..., None], s_norm, r)
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
+    """Redundant add: [0,2p) x [0,2p) -> [0,2p)."""
     t, _ = _normalize(a + b)
-    # carry_out impossible: a + b < 2p < 2^256
-    return _cond_sub_p(t, fs)
+    return _cond_sub(t, fs.p2_comp_limbs)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    # a - b = a + ~b + 1 - 2^256; carry_out <=> a >= b
+    """Redundant sub: a - b + 2p, re-ranged to [0,2p)."""
+    # a + ~b + (2p+1) == a - b + 2p + 2^256 -> drop the guaranteed carry
     comp_b = jnp.uint32(LIMB_MASK) - b
-    one0 = np.zeros(N_LIMBS, np.uint32)
-    one0[0] = 1
-    t = a + comp_b + jnp.asarray(one0)
-    s, cout = _normalize(t)
-    wrapped, _ = _normalize(s + jnp.asarray(fs.p_limbs))  # a - b + p (mod 2^256)
-    return jnp.where((cout == 1)[..., None], s, wrapped)
+    t = a + comp_b + jnp.asarray(fs.p2_plus1_limbs)
+    s, _ = _normalize(t)
+    return _cond_sub(s, fs.p2_comp_limbs)
 
 
 def neg(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    z = jnp.zeros_like(a)
-    res = sub(z, a, fs)
-    nonzero = jnp.any(a != 0, axis=-1, keepdims=True)
-    return jnp.where(nonzero, res, z)
+    """2p - a (a redundant zero maps to another redundant zero)."""
+    comp_a = jnp.uint32(LIMB_MASK) - a
+    t = comp_a + jnp.asarray(fs.p2_plus1_limbs)
+    s, _ = _normalize(t)
+    return _cond_sub(s, fs.p2_comp_limbs)
+
+
+def canon(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
+    """Reduce a redundant [0,2p) value to canonical [0,p)."""
+    return _cond_sub(a, fs.p_comp_limbs)
+
+
+def sub_canonical(a: jnp.ndarray, b: jnp.ndarray,
+                  fs: FieldSpec = FR) -> jnp.ndarray:
+    """Canonical subtract for plain-form arithmetic feeding bit
+    decompositions: inputs/outputs in [0,p)."""
+    return canon(sub(a, b, fs), fs)
+
+
+def add_canonical(a: jnp.ndarray, b: jnp.ndarray,
+                  fs: FieldSpec = FR) -> jnp.ndarray:
+    return canon(add(a, b, fs), fs)
 
 
 # ---------------------------------------------------------------------------
@@ -212,20 +238,18 @@ def neg(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def mont_reduce_wide(cols: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    """cols: (..., 33) column sums (< 2^23) of a value T < p*R.
-    Returns T * R^{-1} mod p, normalized limbs."""
+    """cols: (..., 33) column sums (each < 2^32) of a value T < p*R.
+    Returns a representative of T * R^{-1} mod p in [0, 2p)."""
     t, _ = _normalize(cols)                       # (..., 33), limbs < 2^16
     m_cols = _mul_wide(t[..., :N_LIMBS], jnp.asarray(fs.nprime_limbs))
-    m_norm, _ = _normalize(m_cols)
-    m = m_norm[..., :N_LIMBS]                     # mod 2^256
-    mp = _mul_wide(m, jnp.asarray(fs.p_limbs))    # (..., 33)
+    m_norm, _ = _normalize(m_cols[..., :N_LIMBS])  # only low 16 limbs matter
+    mp = _mul_wide(m_norm, jnp.asarray(fs.p_limbs))  # (..., 33)
     total, _ = _normalize(t + mp)                 # T + m*p, divisible by R
-    res = total[..., N_LIMBS:2 * N_LIMBS]         # >> 256; < 2p
-    return _cond_sub_p(res, fs)
+    return total[..., N_LIMBS:2 * N_LIMBS]        # >> 256; < 2p
 
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
-    """Montgomery product a*b*R^{-1} mod p; a, b normalized in [0, p)."""
+    """Montgomery product a*b*R^{-1}; redundant [0,2p) in/out."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
@@ -243,8 +267,9 @@ def to_mont(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
 
 
 def from_mont(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
+    """Montgomery -> canonical plain form in [0, p)."""
     one = jnp.zeros(N_LIMBS, dtype=jnp.uint32).at[0].set(1)
-    return mont_mul(a, one, fs)
+    return canon(mont_mul(a, one, fs), fs)
 
 
 # ---------------------------------------------------------------------------
