@@ -12,6 +12,7 @@ from __future__ import annotations
 import secrets
 
 from ..ops import ec, ff
+from ..utils import native
 from . import poly, qap
 from .setup import ProvingKey
 from .verify import Proof
@@ -19,28 +20,11 @@ from .verify import Proof
 P = ff.P_FR
 
 
-def pippenger_host(scalars: list[int], points: list, group=ec.G1, c: int = 8):
-    """Host windowed-bucket MSM (faster oracle than naive double-and-add)."""
-    acc_total = None
-    n_windows = (254 + c - 1) // c
-    for w in range(n_windows - 1, -1, -1):
-        if acc_total is not None:
-            for _ in range(c):
-                acc_total = group.double(acc_total)
-        buckets = [None] * (1 << c)
-        shift = w * c
-        mask = (1 << c) - 1
-        for s, pt in zip(scalars, points):
-            d = (s >> shift) & mask
-            if d and pt is not None:
-                buckets[d] = group.add(buckets[d], pt)
-        running = None
-        window_sum = None
-        for d in range((1 << c) - 1, 0, -1):
-            running = group.add(running, buckets[d])
-            window_sum = group.add(window_sum, running)
-        acc_total = group.add(acc_total, window_sum)
-    return acc_total
+def pippenger_host(scalars: list[int], points: list, group=ec.G1):
+    """Host MSM: native C++ Pippenger when built, Python fallback."""
+    if group is ec.G1:
+        return native.g1_msm(scalars, points)
+    return native.g2_msm(scalars, points)
 
 
 def prove_host(pk: ProvingKey, constraints, witness: list[int],

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from ..ops import ec, ff
+from ..utils import native
 from . import poly, qap
 from .verify import VerifyingKey
 
@@ -36,37 +37,6 @@ def _derive_scalars(seed: bytes, names: list[str]) -> dict:
         if out[name] == 0:
             out[name] = 1
     return out
-
-
-class _FixedBase:
-    """Windowed fixed-base multiplier (8-bit windows)."""
-
-    def __init__(self, group, gen, bits: int = 256):
-        self.group = group
-        self.windows = (bits + 7) // 8
-        self.table = []
-        base = gen
-        for _ in range(self.windows):
-            row = [None] * 256
-            acc = None
-            for d in range(1, 256):
-                acc = group.add(acc, base)
-                row[d] = acc
-            self.table.append(row)
-            base = group.add(acc, base)  # base * 256
-        # note: row[d] = d * base_w, and next base = 256 * base_w
-
-    def mul(self, k: int):
-        k %= ff.P_FR
-        acc = None
-        w = 0
-        while k:
-            d = k & 0xFF
-            if d:
-                acc = self.group.add(acc, self.table[w][d])
-            k >>= 8
-            w += 1
-        return acc
 
 
 @dataclass
@@ -122,44 +92,50 @@ def dev_setup(cs, seed: bytes = b"zkfranchise-dev-setup") \
         for i, cf in c.items():
             c_tau[i] = (c_tau[i] + cf * lr) % P
 
-    fb1 = _FixedBase(ec.G1, ec.G1_GEN)
-    fb2 = _FixedBase(ec.G2, ec.G2_GEN)
-
-    a_g1 = [fb1.mul(x) for x in a_tau]
-    b_g1 = [fb1.mul(x) for x in b_tau]
-    b_g2 = [fb2.mul(x) for x in b_tau]
-
     k_scalars = [
         (beta * a_tau[i] + alpha * b_tau[i] + c_tau[i]) % P * dinv % P
         for i in range(npub + 1, m)
     ]
-    k_g1 = [fb1.mul(x) for x in k_scalars]
-
     # H table: L^coset_j(tau) * Z(tau) / ((s^n - 1) * delta)
     s = poly.COSET_SHIFT
     zn = (pow(tau, n, P) - 1) % P            # Z(tau) for plain domain
     sn1 = (pow(s, n, P) - 1) % P             # Z evaluated on the coset
     scale = zn * ff.inv_mod(sn1, P) % P * dinv % P
     lag_coset = poly.lagrange_evals_at(tau, n, shift=s)
-    h_g1 = [fb1.mul(lc * scale % P) for lc in lag_coset]
-
+    h_scalars = [lc * scale % P for lc in lag_coset]
     ic_scalars = [
         (beta * a_tau[i] + alpha * b_tau[i] + c_tau[i]) % P  # gamma = 1
         for i in range(npub + 1)
     ]
+
+    # all G1 keygen in one fixed-base batch (native C++ when available)
+    g1_batch = ([alpha, beta, delta] + a_tau + b_tau + k_scalars
+                + h_scalars + ic_scalars)
+    g1_pts = native.g1_fixed_base_mul(g1_batch)
+    alpha_g1, beta_g1, delta_g1 = g1_pts[0], g1_pts[1], g1_pts[2]
+    off = 3
+    a_g1 = g1_pts[off:off + m]; off += m
+    b_g1 = g1_pts[off:off + m]; off += m
+    k_g1 = g1_pts[off:off + len(k_scalars)]; off += len(k_scalars)
+    h_g1 = g1_pts[off:off + n]; off += n
+    ic_g1 = g1_pts[off:off + npub + 1]
+
+    g2_pts = native.g2_fixed_base_mul([beta, delta] + b_tau)
+    beta_g2, delta_g2 = g2_pts[0], g2_pts[1]
+    b_g2 = g2_pts[2:]
+
     vk = VerifyingKey({
         "protocol": "groth16", "curve": "bn128", "nPublic": npub,
-        "vk_alpha_1": _g1j(fb1.mul(alpha)),
-        "vk_beta_2": _g2j(fb2.mul(beta)),
+        "vk_alpha_1": _g1j(alpha_g1),
+        "vk_beta_2": _g2j(beta_g2),
         "vk_gamma_2": _g2j(ec.G2_GEN),
-        "vk_delta_2": _g2j(fb2.mul(delta)),
-        "IC": [_g1j(fb1.mul(x)) for x in ic_scalars],
+        "vk_delta_2": _g2j(delta_g2),
+        "IC": [_g1j(x) for x in ic_g1],
     })
     pk = ProvingKey(
         n_vars=m, n_public=npub, domain=n,
-        alpha_g1=fb1.mul(alpha), beta_g1=fb1.mul(beta),
-        beta_g2=fb2.mul(beta),
-        delta_g1=fb1.mul(delta), delta_g2=fb2.mul(delta),
+        alpha_g1=alpha_g1, beta_g1=beta_g1, beta_g2=beta_g2,
+        delta_g1=delta_g1, delta_g2=delta_g2,
         a_g1=a_g1, b_g1=b_g1, b_g2=b_g2, k_g1=k_g1, h_g1=h_g1,
     )
     return pk, vk
