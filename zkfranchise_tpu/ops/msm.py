@@ -129,7 +129,8 @@ def _inclusive_scan(pts: jnp.ndarray, padd, pneg) -> jnp.ndarray:
         v = a.reshape(*a.shape[:-3], m // 2, 2, *a.shape[-2:])
         odd = scan                       # scan over pairs = odd positions
         even = padd(scan, pneg(v[..., 1, :, :]))
-        scan = jnp.stack([even, odd], axis=-4).reshape(
+        # interleave: out[2k] = even[k], out[2k+1] = odd[k]
+        scan = jnp.stack([even, odd], axis=-3).reshape(
             *a.shape[:-3], m, *a.shape[-2:])
     return scan
 
