@@ -85,7 +85,7 @@ def main():
 
     t0 = time.time()
     for i in range(ITERS):
-        pa, pb, pc, publics = prover._prove_jit(
+        pa, pb, pc, publics = prover.prove_arrays(
             arrs, *prover_rs(prover, seed=2 + i))
     jax.block_until_ready((pa, pb, pc, publics))
     dt = time.time() - t0

@@ -1,16 +1,17 @@
 """TPU Groth16 prover: the flagship batched proving pipeline.
 
-One jitted function takes a BATCH of voters' circuit inputs and produces a
-batch of Groth16 proofs: witness generation (models/census.py), R1CS row
-evaluation (ops/sparse.py), quotient evaluations via coset NTT (ops/ntt.py),
-and five MSMs (ops/msm.py) — everything the reference delegates to
-go-rapidsnark/snarkjs (/root/reference/zk_census_test.go:89), re-designed as
-a single XLA program over limb arrays.
+A batch of voters' circuit inputs goes through four jitted stages:
+  1. witness generation (models/census.py),
+  2. R1CS row evaluation + coset-NTT quotient (ops/sparse.py, ops/ntt.py),
+  3. five MSMs (ops/msm.py) with the r/s blinding folded into extended
+     scalar/point tables,
+  4. proof assembly (two batched scalar-muls + point adds).
 
-Blinding (r, s) is folded into the MSMs by extending the scalar/point
-tables, so pi_a/pi_b/pi_c come out of three fused MSM calls plus two
-batched scalar-muls; only the final projective->affine conversion runs on
-host.
+Staged jits keep each XLA program at a compilable size and let the A/B1
+MSMs share one compiled executable (same shapes).  This is the work the
+reference delegates to go-rapidsnark/snarkjs
+(/root/reference/zk_census_test.go:89), re-designed as XLA programs over
+limb arrays.  Only the final projective->affine conversion runs on host.
 """
 from __future__ import annotations
 
@@ -31,7 +32,7 @@ P = ff.P_FR
 
 
 class DeviceProver:
-    """Holds device-resident proving-key tables + the jitted prove step."""
+    """Holds device-resident proving-key tables + the jitted prove stages."""
 
     def __init__(self, circuit: CensusCircuit, pk: ProvingKey):
         self.circuit = circuit
@@ -41,7 +42,6 @@ class DeviceProver:
             extra_rows=qap.binding_rows(cs.num_public))
         assert self.arrays["num_constraints"] <= pk.domain
 
-        # device point tables (packed, Montgomery)
         g1pack = lambda pts: msm.pack_g1(ec_jax.g1_from_affine_host(pts))
         g2pack = lambda pts: msm.pack_g2(ec_jax.g2_from_affine_host(pts))
         # A/B1 tables extended with delta for the r/s blinding term
@@ -50,73 +50,87 @@ class DeviceProver:
         self.b2_pts = g2pack(pk.b_g2 + [pk.delta_g2])
         # C table: private wires + H table + delta (for the -rs term)
         self.c_pts = g1pack(pk.k_g1 + pk.h_g1 + [pk.delta_g1])
-        self.alpha = ec_jax.g1_from_affine_host([pk.alpha_g1])
-        self.beta1 = ec_jax.g1_from_affine_host([pk.beta_g1])
-        self.beta2 = ec_jax.g2_from_affine_host([pk.beta_g2])
+        self.alpha = g1pack([pk.alpha_g1])[0]
+        self.beta1 = g1pack([pk.beta_g1])[0]
+        self.beta2 = g2pack([pk.beta_g2])[0]
 
-        self._prove_jit = jax.jit(self._prove_device)
+        self._witness_jit = jax.jit(self._witness_stage)
+        self._quotient_jit = jax.jit(self._quotient_stage)
+        # one executable serves both A and B1 (same shapes)
+        self._msm_g1_jit = jax.jit(
+            lambda sc, pts: msm._msm_packed(sc, pts, "g1"))
+        self._msm_g2_jit = jax.jit(
+            lambda sc, pts: msm._msm_packed(sc, pts, "g2"))
+        self._assemble_jit = jax.jit(self._assemble_stage)
 
-    # -- device pipeline -----------------------------------------------------
-    def _prove_device(self, inputs: dict, r_plain: jnp.ndarray,
-                      s_plain: jnp.ndarray):
-        """inputs: batched plain limb arrays (see CensusCircuit.witness);
-        r/s: (..., 16) plain limb blinding scalars."""
-        m, npub, n = self.pk_meta
-        w = self.circuit.witness(inputs)                 # (..., m, 16) mont
-        w_plain = limbs.from_mont(w)
+    # -- stage 1: witness ----------------------------------------------------
+    def _witness_stage(self, inputs: dict):
+        w = self.circuit.witness(inputs)
+        return w, limbs.from_mont(w)
 
-        a_rows, b_rows, c_rows = (self.arrays[k] for k in ("a", "b", "c"))
-        az = sparse.spmv(*a_rows, n, w)
-        bz = sparse.spmv(*b_rows, n, w)
-        cz = sparse.spmv(*c_rows, n, w)
+    # -- stage 2: az/bz/cz + quotient evals ---------------------------------
+    def _quotient_stage(self, w: jnp.ndarray):
+        n = self.pk_meta[2]
+        az = sparse.spmv(*self.arrays["a"], n, w)
+        bz = sparse.spmv(*self.arrays["b"], n, w)
+        cz = sparse.spmv(*self.arrays["c"], n, w)
         a_cos = ntt.coset_evals_from_domain_evals(az)
         b_cos = ntt.coset_evals_from_domain_evals(bz)
         c_cos = ntt.coset_evals_from_domain_evals(cz)
         q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_cos, FR)
-        q_plain = limbs.from_mont(q)
+        return limbs.from_mont(q)
+
+    # -- stage 4: blinding combination --------------------------------------
+    def _assemble_stage(self, pa, pb1, pb, pc_partial, r_plain, s_plain):
+        pi_a = ec_jax.g1_add(msm.unpack_g1(pa), _bcast1(self.alpha, pa))
+        pi_b1 = ec_jax.g1_add(msm.unpack_g1(pb1), _bcast1(self.beta1, pb1))
+        pi_b = ec_jax.g2_add(msm.unpack_g2(pb), _bcast2(self.beta2, pb))
+        pi_c = msm.unpack_g1(pc_partial)
+        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_a, s_plain))
+        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_b1, r_plain))
+        return msm.pack_g1(pi_a), msm.pack_g2(pi_b), msm.pack_g1(pi_c)
+
+    # -- full pipeline -------------------------------------------------------
+    def prove_arrays(self, inputs: dict, r_plain: jnp.ndarray,
+                     s_plain: jnp.ndarray):
+        """Batched prove; returns packed (pi_a, pi_b, pi_c, publics)."""
+        npub = self.pk_meta[1]
+        w, w_plain = self._witness_jit(inputs)
+        q_plain = self._quotient_jit(w)
 
         r1 = r_plain[..., None, :]
         s1 = s_plain[..., None, :]
-        pi_a = msm.unpack_g1(msm._msm_packed(
-            jnp.concatenate([w_plain, r1], axis=-2), self.a_pts, "g1"))
-        pi_a = ec_jax.g1_add(pi_a, _bcast1(self.alpha, pi_a))
+        wa = jnp.concatenate([w_plain, r1], axis=-2)
+        ws = jnp.concatenate([w_plain, s1], axis=-2)
+        pa = self._msm_g1_jit(wa, self.a_pts)
+        pb1 = self._msm_g1_jit(ws, self.b1_pts)
+        pb = self._msm_g2_jit(ws, self.b2_pts)
 
-        pi_b1 = msm.unpack_g1(msm._msm_packed(
-            jnp.concatenate([w_plain, s1], axis=-2), self.b1_pts, "g1"))
-        pi_b1 = ec_jax.g1_add(pi_b1, _bcast1(self.beta1, pi_b1))
-
-        pi_b = msm.unpack_g2(msm._msm_packed(
-            jnp.concatenate([w_plain, s1], axis=-2), self.b2_pts, "g2"))
-        pi_b = ec_jax.g2_add(pi_b, _bcast2(self.beta2, pi_b))
-
-        # -r*s mod p as plain limbs: mont_mul(r*R? ) — compute via to_mont
-        rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)  # r*s plain
-        neg_rs = limbs.sub(jnp.zeros_like(rs), rs, FR)
+        rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
+        neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
         c_scalars = jnp.concatenate(
             [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
             axis=-2)
-        pi_c = msm.unpack_g1(msm._msm_packed(c_scalars, self.c_pts, "g1"))
-        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_a, s_plain))
-        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_b1, r_plain))
+        pc_partial = self._msm_g1_jit(c_scalars, self.c_pts)
 
+        pa_f, pb_f, pc_f = self._assemble_jit(pa, pb1, pb, pc_partial,
+                                              r_plain, s_plain)
         publics = w_plain[..., 1:1 + npub, :]
-        return (msm.pack_g1(pi_a), msm.pack_g2(pi_b), msm.pack_g1(pi_c),
-                publics)
+        return pa_f, pb_f, pc_f, publics
 
     # -- host wrapper --------------------------------------------------------
     def prove_batch(self, inputs: dict, seed: int = 0):
         """Returns (proofs: list[Proof], public_signals: list[list[int]])."""
         rng = np.random.default_rng(seed)
         rs_shape = tuple(np.asarray(inputs["address"]).shape[:-1])
-        r_int = [int.from_bytes(rng.bytes(31), "big") % P
-                 for _ in range(int(np.prod(rs_shape)) if rs_shape else 1)]
-        s_int = [int.from_bytes(rng.bytes(31), "big") % P
-                 for _ in range(int(np.prod(rs_shape)) if rs_shape else 1)]
+        count = int(np.prod(rs_shape)) if rs_shape else 1
+        r_int = [int.from_bytes(rng.bytes(31), "big") % P for _ in range(count)]
+        s_int = [int.from_bytes(rng.bytes(31), "big") % P for _ in range(count)]
         r_arr = jnp.asarray(limbs.ints_to_limbs(r_int)).reshape(
             *rs_shape, N_LIMBS)
         s_arr = jnp.asarray(limbs.ints_to_limbs(s_int)).reshape(
             *rs_shape, N_LIMBS)
-        pa, pb, pc, publics = self._prove_jit(inputs, r_arr, s_arr)
+        pa, pb, pc, publics = self.prove_arrays(inputs, r_arr, s_arr)
         return self.finalize(pa, pb, pc, publics)
 
     def finalize(self, pa, pb, pc, publics):
@@ -137,15 +151,19 @@ class DeviceProver:
         return proofs, pubs
 
 
-def _bcast1(pt: ec_jax.G1Point, like: ec_jax.G1Point) -> ec_jax.G1Point:
+def _bcast1(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G1Point:
+    pt = msm.unpack_g1(pt_packed)
+    like = msm.unpack_g1(like_packed)
     return ec_jax.G1Point(
-        jnp.broadcast_to(pt.x[0], like.x.shape),
-        jnp.broadcast_to(pt.y[0], like.y.shape),
-        jnp.broadcast_to(pt.z[0], like.z.shape))
+        jnp.broadcast_to(pt.x, like.x.shape),
+        jnp.broadcast_to(pt.y, like.y.shape),
+        jnp.broadcast_to(pt.z, like.z.shape))
 
 
-def _bcast2(pt: ec_jax.G2Point, like: ec_jax.G2Point) -> ec_jax.G2Point:
+def _bcast2(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G2Point:
+    pt = msm.unpack_g2(pt_packed)
+    like = msm.unpack_g2(like_packed)
     return ec_jax.G2Point(
-        jnp.broadcast_to(pt.x[0], like.x.shape),
-        jnp.broadcast_to(pt.y[0], like.y.shape),
-        jnp.broadcast_to(pt.z[0], like.z.shape))
+        jnp.broadcast_to(pt.x, like.x.shape),
+        jnp.broadcast_to(pt.y, like.y.shape),
+        jnp.broadcast_to(pt.z, like.z.shape))
