@@ -77,7 +77,10 @@ class DeviceProver:
         a_cos = ntt.coset_evals_from_domain_evals(az)
         b_cos = ntt.coset_evals_from_domain_evals(bz)
         c_cos = ntt.coset_evals_from_domain_evals(cz)
-        q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_cos, FR)
+        # forward-NTT outputs are value-loose; tighten c before it becomes a
+        # subtrahend (multiply by the Montgomery one keeps the class)
+        c_tight = limbs.mont_mul(c_cos, jnp.asarray(FR.one_mont))
+        q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_tight, FR)
         return limbs.from_mont(q)
 
     # -- stage 4: blinding combination --------------------------------------

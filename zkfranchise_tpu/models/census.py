@@ -317,10 +317,12 @@ def eval_smt_trace(key_bits: jnp.ndarray, key_mont: jnp.ndarray,
 
     # scan levels i = L-1 .. 0
     def body(c_next, xs):
+        # c_next is an amp-2 lazy sum (m1 + m2); subs pass matching b_amp
         s_m, b_m, lev_m, after_m = xs
-        m_sw = limbs.mont_mul(b_m, limbs.sub(s_m, c_next, FR), FR)
-        left = limbs.add(c_next, m_sw, FR)
-        right = limbs.sub(limbs.add(s_m, c_next, FR), left, FR)
+        m_sw = limbs.mont_mul(b_m, limbs.sub(s_m, c_next, FR, b_amp=2), FR)
+        left = limbs.weak_normalize(limbs.add(c_next, m_sw, FR), 1)
+        right = limbs.weak_normalize(
+            limbs.sub(limbs.add(s_m, c_next, FR), left, FR, b_amp=2), 1)
         h, h_tr = eval_poseidon_trace(jnp.stack([left, right], axis=-2))
         m1 = limbs.mont_mul(lev_m, leaf, FR)
         m2 = limbs.mont_mul(limbs.sub(jnp.broadcast_to(one, after_m.shape),

@@ -52,31 +52,32 @@ def _fq_add(a, b):
     return limbs.add(a, b, FQ)
 
 
-def _fq_sub(a, b):
-    return limbs.sub(a, b, FQ)
+def _fq_sub(a, b, b_amp: int = 1):
+    return limbs.sub(a, b, FQ, b_amp=b_amp)
 
 
 def _fq2_mul(a, b):
-    """(..., 2, 16) x (..., 2, 16): (a0+a1 u)(b0+b1 u), u^2 = -1.
-    Karatsuba: 3 Fq muls."""
+    """(..., 2, 20) x (..., 2, 20): (a0+a1 u)(b0+b1 u), u^2 = -1.
+    Schoolbook (4 Fq muls, one batched call) — Karatsuba would square the
+    lazy-limb amplitudes, schoolbook keeps them at the operands'."""
     a0, a1 = a[..., 0, :], a[..., 1, :]
     b0, b1 = b[..., 0, :], b[..., 1, :]
-    v0 = _fq_mul(a0, b0)
-    v1 = _fq_mul(a1, b1)
-    s = _fq_mul(_fq_add(a0, a1), _fq_add(b0, b1))
-    re = _fq_sub(v0, v1)
-    im = _fq_sub(_fq_sub(s, v0), v1)
-    return jnp.stack([re, im], axis=-2)
+    lanes_a = jnp.stack([a0, a1, a0, a1], axis=-2)
+    lanes_b = jnp.stack([b0, b1, b1, b0], axis=-2)
+    v = limbs.mont_mul(lanes_a, lanes_b, FQ)
+    re = _fq_sub(v[..., 0, :], v[..., 1, :])
+    im = _fq_add(v[..., 2, :], v[..., 3, :])
+    # amplitude-1 out, so Fq2 products compose like Fq ones in _padd
+    return limbs.weak_normalize(jnp.stack([re, im], axis=-2), 1)
 
 
 def _fq2_add(a, b):
-    return jnp.stack([_fq_add(a[..., 0, :], b[..., 0, :]),
-                      _fq_add(a[..., 1, :], b[..., 1, :])], axis=-2)
+    return a + b
 
 
-def _fq2_sub(a, b):
-    return jnp.stack([_fq_sub(a[..., 0, :], b[..., 0, :]),
-                      _fq_sub(a[..., 1, :], b[..., 1, :])], axis=-2)
+def _fq2_sub(a, b, b_amp: int = 1, loose: bool = False):
+    d = limbs._sub_const(FQ, b_amp, loose)
+    return a + (jnp.asarray(d) - b)
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +122,9 @@ def g2_identity(batch=()) -> G2Point:
 # ---------------------------------------------------------------------------
 
 def _padd(p, q, fmul, fadd, fsub, b3, lane_axis):
+    """Amplitude discipline (see ops/limbs.py): inputs are amplitude-1
+    (the closing weak_normalize guarantees it for chained calls); every
+    multiply's operand-amplitude product stays <= 16."""
     x1, y1, z1 = p
     x2, y2, z2 = q
 
@@ -130,36 +134,40 @@ def _padd(p, q, fmul, fadd, fsub, b3, lane_axis):
     def unstk(a, k):
         return [jnp.take(a, i, axis=lane_axis) for i in range(k)]
 
-    # cross sums (one 6-lane add)
+    # cross sums (one 6-lane add) — amp 2
     s = fadd(stk(x1, y1, x1, x2, y2, x2), stk(y1, z1, z1, y2, z2, z2))
     sx1y1, sy1z1, sx1z1, sx2y2, sy2z2, sx2z2 = unstk(s, 6)
 
-    # products (one 6-lane mul): t0,t1,t2 and the three cross products
+    # products (one 6-lane mul): amp 1x1 and 2x2 lanes
     m = fmul(stk(x1, y1, z1, sx1y1, sy1z1, sx1z1),
              stk(x2, y2, z2, sx2y2, sy2z2, sx2z2))
     t0, t1, t2, c1, c2, c3 = unstk(m, 6)
 
-    # pair sums (one 3-lane add), then the three differences (one 3-lane sub)
+    # pair sums (amp 2), then differences (amp 4: 1 + D2's 3)
     ps = fadd(stk(t0, t1, t0), stk(t1, t2, t2))
-    d = fsub(stk(c1, c2, c3), ps)
+    d = fsub(stk(c1, c2, c3), ps, b_amp=2)
     t3, t4, y3 = unstk(d, 3)
 
-    t0_3 = fadd(fadd(t0, t0), t0)               # 3 * t0
+    t0_3 = fadd(fadd(t0, t0), t0)               # 3 * t0, amp 3
 
-    # b3 products (one 2-lane mul, b3 broadcast over lanes)
+    # b3 products (amp 4x1 worst)
     bb = fmul(stk(t2, y3), jnp.expand_dims(b3, lane_axis))
     t2b, y3b = unstk(bb, 2)
 
-    zs = fadd(t1, t2b)                          # z3 pre
-    t1n = fsub(t1, t2b)
+    zs = fadd(t1, t2b)                          # amp 2
+    t1n = fsub(t1, t2b)                         # amp 3
 
-    # final products (one 6-lane mul)
+    # final products: amp products 4x1, 4x3, 1x3, 3x2, 3x4, 2x4 — all <= 16
     f = fmul(stk(t4, t3, y3b, t1n, t0_3, zs),
              stk(y3b, t1n, t0_3, zs, t3, t4))
     x3a, t2c, y3a, t1z, t0t, z3t = unstk(f, 6)
 
-    x3 = fsub(t2c, x3a)
-    fin = fadd(stk(t1z, z3t), stk(y3a, t0t))
+    x3 = fsub(t2c, x3a)                         # amp 3
+    fin = fadd(stk(t1z, z3t), stk(y3a, t0t))    # amp 2
+    y3, z3 = unstk(fin, 2)
+    # restore amplitude-1 for the next chained addition
+    x3 = limbs.weak_normalize(x3, 1)
+    fin = limbs.weak_normalize(fin, 1)
     y3, z3 = unstk(fin, 2)
     return x3, y3, z3
 
@@ -183,11 +191,12 @@ def g2_double(p: G2Point) -> G2Point:
 
 
 def g1_neg(p: G1Point) -> G1Point:
-    return G1Point(p.x, limbs.neg(p.y, FQ), p.z)
+    # loose tier: the operand may be a complete-addition output (~2^269.6)
+    return G1Point(p.x, limbs.neg(p.y, FQ, loose=True), p.z)
 
 
 def g2_neg(p: G2Point) -> G2Point:
-    return G2Point(p.x, limbs.neg(p.y, FQ), p.z)
+    return G2Point(p.x, limbs.neg(p.y, FQ, loose=True), p.z)
 
 
 def g1_select(cond, p: G1Point, q: G1Point) -> G1Point:

@@ -3,7 +3,9 @@
 The Groth16 prover's hot loop #3 (SURVEY.md §3.3) — replaces
 go-rapidsnark's goroutine MSM with a TPU formulation:
 
-  * 8-bit windows over the 16-bit limb decomposition (32 windows);
+  * 8-bit windows (32 of them) treated as a leading BATCH axis, so all
+    windows' bucket accumulations run as wide vectorized ops (grouped to
+    bound memory);
   * per window: sort points by bucket digit (jnp.argsort), then a Blelloch
     inclusive prefix scan whose combiner is the branch-free complete
     addition formula (ops/ec_jax.py) — 2n vectorized EC adds in log depth;
@@ -11,8 +13,8 @@ go-rapidsnark's goroutine MSM with a TPU formulation:
     bucket total computed by the telescoped identity
         sum_b b*S_b = 255*total - sum_{b<255} cum[b],
     which needs one 255-leaf add-tree instead of a serial bucket walk;
-  * windows combined Horner-style under a `lax.scan` (8 doublings + 1 add
-    per window), keeping the traced program to a single window body.
+  * windows combined Horner-style under a tiny `lax.scan` (8 doublings +
+    1 add per window on single points).
 
 Scalars stay in plain (non-Montgomery) limb form; points are packed
 (n, C, 16) Montgomery coordinate arrays (C=3 for G1, 6 for G2).  Batch
@@ -36,6 +38,9 @@ from .limbs import N_LIMBS
 WINDOW_BITS = 8
 N_WINDOWS = 32
 N_BUCKETS = 1 << WINDOW_BITS
+# how many (window x batch) lanes to run through one Blelloch scan; bounds
+# the scan's level-buffer memory (~2 * lanes * n * C * 80B)
+WINDOW_GROUP = 32
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +103,18 @@ _OPS = {
 # ---------------------------------------------------------------------------
 
 def window_digits(scalars: jnp.ndarray) -> jnp.ndarray:
-    """Plain limb scalars (..., n, 16) -> (..., n, 32) uint32 8-bit digits,
-    least-significant window first."""
-    lo = scalars & 0xFF
-    hi = scalars >> 8
-    return jnp.stack([lo, hi], axis=-1).reshape(*scalars.shape[:-1],
-                                                2 * N_LIMBS)
+    """CANONICAL plain limb scalars (..., n, 20) -> (..., n, 32) uint32
+    8-bit digits, least-significant window first (windows cover bits
+    0..255; canonical BN254 scalars are < 2^254)."""
+    outs = []
+    for w in range(N_WINDOWS):
+        b0 = 8 * w
+        i, s = divmod(b0, limbs.LIMB_BITS)
+        d = scalars[..., i] >> s
+        if s + 8 > limbs.LIMB_BITS and i + 1 < N_LIMBS:
+            d = d | (scalars[..., i + 1] << (limbs.LIMB_BITS - s))
+        outs.append(d & 0xFF)
+    return jnp.stack(outs, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -175,22 +186,24 @@ def _msm_packed(scalars: jnp.ndarray, points: jnp.ndarray, kind: str
     n = m
 
     digits = window_digits(scalars)                     # (..., n, 32)
-    # scan over windows, most significant first
-    digits_t = jnp.moveaxis(digits, -1, 0)[::-1]        # (32, ..., n)
+    # windows become a leading BATCH axis: all 32 bucket accumulations run
+    # as wide vectorized ops (one argsort, one gather, one Blelloch scan),
+    # processed in groups to bound the scan's level-buffer memory.
+    digits_t = jnp.moveaxis(digits, -1, 0)              # (32, ..., n)
 
     bucket_ids = jnp.arange(N_BUCKETS - 1, dtype=jnp.uint32)  # 0..254
 
-    def window_body(acc, d):
-        # d: (..., n) digits for this window
+    def window_group_sums(d):
+        # d: (G, ..., n) digits for a group of windows -> (G, ..., C, L)
         order = jnp.argsort(d, axis=-1)
         d_sorted = jnp.take_along_axis(d, order, axis=-1)
-        pts = points[order]                             # (..., n, C, 16)
-        prefix = _inclusive_scan(pts, padd, pneg)       # (..., n, C, 16)
+        pts = points[order]                             # (G, ..., n, C, L)
+        prefix = _inclusive_scan(pts, padd, pneg)
         total = prefix[..., n - 1, :, :]
         # cum[b] = prefix[count(d <= b) - 1]; count via compare-sum
         counts = jnp.sum(
             (d_sorted[..., :, None] <= bucket_ids).astype(jnp.int32),
-            axis=-2)                                    # (..., 255)
+            axis=-2)                                    # (G, ..., 255)
         idx = counts - 1                                # may be -1
         empty = idx < 0
         idx = jnp.clip(idx, 0, n - 1)
@@ -203,16 +216,25 @@ def _msm_packed(scalars: jnp.ndarray, points: jnp.ndarray, kind: str
             0, WINDOW_BITS, lambda _, t: padd(t, t), total)  # 256 * total
         t255 = padd(t255, pneg(total))                       # 255 * total
         u = _tree_reduce(cum, padd, pidentity)
-        w_sum = padd(t255, pneg(u))
-        # Horner: acc = 256*acc + W
+        return padd(t255, pneg(u))
+
+    group = max(1, WINDOW_GROUP // max(1, int(np.prod(batch) or 1)))
+    n_groups = (N_WINDOWS + group - 1) // group
+    w_sums = []
+    for g in range(n_groups):
+        w_sums.append(window_group_sums(
+            digits_t[g * group:(g + 1) * group]))
+    w_all = jnp.concatenate(w_sums, axis=0)             # (32, ..., C, L)
+
+    # Horner over windows, most significant first (sequential, tiny)
+    def horner(acc, w_sum):
         acc = jax.lax.fori_loop(
             0, WINDOW_BITS, lambda _, t: padd(t, t), acc)
-        acc = padd(acc, w_sum)
-        return acc, None
+        return padd(acc, w_sum), None
 
     acc0 = jnp.broadcast_to(jnp.asarray(pidentity(())),
                             (*batch, C, N_LIMBS))
-    acc, _ = jax.lax.scan(window_body, acc0, digits_t)
+    acc, _ = jax.lax.scan(horner, acc0, w_all[::-1])
     return acc
 
 

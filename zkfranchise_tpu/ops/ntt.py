@@ -76,8 +76,10 @@ def _transform(x: jnp.ndarray, tables, plan: NTTPlan) -> jnp.ndarray:
         lo = v[..., 0, :, :]
         hi = limbs.mont_mul(v[..., 1, :, :], jnp.asarray(tw), FR)
         out_lo = limbs.add(lo, hi, FR)
-        out_hi = limbs.sub(lo, hi, FR)
-        x = jnp.stack([out_lo, out_hi], axis=-3).reshape(
+        out_hi = limbs.sub(lo, hi, FR, b_amp=1)
+        # keep limb amplitude ~1 across stages (weak rounds are cheap)
+        x = limbs.weak_normalize(
+            jnp.stack([out_lo, out_hi], axis=-3), 1).reshape(
             *x.shape[:-2], n, N_LIMBS)
     return x
 

@@ -48,13 +48,15 @@ def _sbox(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mix(state: jnp.ndarray, m_mont: jnp.ndarray) -> jnp.ndarray:
-    """state: (..., t, 16); m_mont: (t, t, 16). new[i] = sum_j M[i][j]*s[j]."""
+    """state: (..., t, L); m_mont: (t, t, L). new[i] = sum_j M[i][j]*s[j].
+    The lazy sum reaches amplitude t; one weak-normalize round restores
+    amplitude 1 before the next round's ark+sbox."""
     t = m_mont.shape[0]
-    prods = limbs.mont_mul(m_mont, state[..., None, :, :], FR)  # (..., t, t, 16)
+    prods = limbs.mont_mul(m_mont, state[..., None, :, :], FR)  # (..., t, t, L)
     acc = prods[..., 0, :]
     for j in range(1, t):
         acc = limbs.add(acc, prods[..., j, :], FR)
-    return acc
+    return limbs.weak_normalize(acc, 1)
 
 
 def permutation(state: jnp.ndarray, t: int) -> jnp.ndarray:

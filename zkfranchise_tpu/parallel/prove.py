@@ -119,7 +119,8 @@ class ShardedProver:
             a_cos = ntt.coset_evals_from_domain_evals(az)
             b_cos = ntt.coset_evals_from_domain_evals(bz)
             c_cos = ntt.coset_evals_from_domain_evals(cz)
-            q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_cos, FR)
+            c_tight = limbs.mont_mul(c_cos, jnp.asarray(FR.one_mont))
+            q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_tight, FR)
             q_plain = limbs.from_mont(q)
 
             r1 = r_plain[..., None, :]
