@@ -46,7 +46,7 @@ def test_add_sub_neg(fs, p, gen):
         assert s[i] % p == (a_int[i] + b_int[i]) % p, i
         assert d[i] % p == (a_int[i] - b_int[i]) % p, i
         assert ng[i] % p == (-a_int[i]) % p, i
-        assert max(s[i], d[i], ng[i]) < 1 << limbs.B_SUB_BITS + 2, i
+        assert max(s[i], d[i], ng[i]) < 1 << (limbs.B_LOOSE_BITS + 2), i
         # canonical variants: exact representative
         assert sc[i] == (a_int[i] + b_int[i]) % p, i
         assert dc[i] == (a_int[i] - b_int[i]) % p, i
