@@ -234,15 +234,18 @@ def neg(a: jnp.ndarray, fs: FieldSpec = FR, amp: int = 1,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _col_matrix() -> np.ndarray:
-    """(2*400, 41) 0/1 f32: routes lo(i,j) -> col i+j, hi(i,j) -> i+j+1."""
+def _col_matrix() -> jnp.ndarray:
+    """(2*400, 41) 0/1 f32: routes lo(i,j) -> col i+j, hi(i,j) -> i+j+1.
+    Created ONCE as a device array: closing over the same ArrayImpl gives a
+    single shared constant in every traced program (inlining it per call
+    bloated StableHLO by ~130KB per multiply)."""
     nsq = N_LIMBS * N_LIMBS
     m = np.zeros((2 * nsq, WIDE), dtype=np.float32)
     for i in range(N_LIMBS):
         for j in range(N_LIMBS):
             m[i * N_LIMBS + j, i + j] = 1.0
             m[nsq + i * N_LIMBS + j, i + j + 1] = 1.0
-    return m
+    return jnp.asarray(m)
 
 
 def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -256,7 +259,7 @@ def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         [lo.reshape(*lo.shape[:-2], nsq), hi.reshape(*hi.shape[:-2], nsq)],
         axis=-1)
     cols = jax.lax.dot_general(
-        flat, jnp.asarray(_col_matrix()),
+        flat, _col_matrix(),
         dimension_numbers=(((flat.ndim - 1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
