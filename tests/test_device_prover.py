@@ -49,7 +49,10 @@ def voter_batch():
 @pytest.mark.slow
 def test_device_prove_batch_verifies(circuit, keys, voter_batch):
     pk, vk = keys
-    prover = DeviceProver(circuit, pk)
+    # compile_friendly: the rolled-loop MSM keeps CPU test compiles bounded;
+    # the production Blelloch path is covered by tests/test_device_kernels
+    # and by bench.py's on-hardware verification
+    prover = DeviceProver(circuit, pk, compile_friendly=True)
     proofs, pubs = prover.prove_batch(voter_batch, seed=11)
     assert len(proofs) == 2
     for proof, pub in zip(proofs, pubs):

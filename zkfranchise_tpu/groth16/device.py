@@ -34,8 +34,13 @@ P = ff.P_FR
 class DeviceProver:
     """Holds device-resident proving-key tables + the jitted prove stages."""
 
-    def __init__(self, circuit: CensusCircuit, pk: ProvingKey):
+    def __init__(self, circuit: CensusCircuit, pk: ProvingKey,
+                 compile_friendly: bool = False):
+        """compile_friendly selects the rolled-loop MSM scan (small traced
+        programs, ~7x more vector work) — for tests/dry-runs on weak hosts;
+        production keeps the unrolled Blelloch scan."""
         self.circuit = circuit
+        self.compile_friendly = compile_friendly
         self.pk_meta = (pk.n_vars, pk.n_public, pk.domain)
         cs = circuit.cs
         self.arrays = cs.export_arrays(
@@ -54,13 +59,16 @@ class DeviceProver:
         self.beta1 = g1pack([pk.beta_g1])[0]
         self.beta2 = g2pack([pk.beta_g2])[0]
 
+        cf = compile_friendly
         self._witness_jit = jax.jit(self._witness_stage)
         self._quotient_jit = jax.jit(self._quotient_stage)
         # one executable serves both A and B1 (same shapes)
         self._msm_g1_jit = jax.jit(
-            lambda sc, pts: msm._msm_packed(sc, pts, "g1"))
+            lambda sc, pts: msm._msm_packed(sc, pts, "g1",
+                                            compile_friendly=cf))
         self._msm_g2_jit = jax.jit(
-            lambda sc, pts: msm._msm_packed(sc, pts, "g2"))
+            lambda sc, pts: msm._msm_packed(sc, pts, "g2",
+                                            compile_friendly=cf))
         self._assemble_jit = jax.jit(self._assemble_stage)
 
     # -- stage 1: witness ----------------------------------------------------

@@ -233,19 +233,26 @@ def neg(a: jnp.ndarray, fs: FieldSpec = FR, amp: int = 1,
 # wide products via constant matmul
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
+_COL_MATRIX = None
+
+
 def _col_matrix() -> jnp.ndarray:
     """(2*400, 41) 0/1 f32: routes lo(i,j) -> col i+j, hi(i,j) -> i+j+1.
-    Created ONCE as a device array: closing over the same ArrayImpl gives a
-    single shared constant in every traced program (inlining it per call
-    bloated StableHLO by ~130KB per multiply)."""
-    nsq = N_LIMBS * N_LIMBS
-    m = np.zeros((2 * nsq, WIDE), dtype=np.float32)
-    for i in range(N_LIMBS):
-        for j in range(N_LIMBS):
-            m[i * N_LIMBS + j, i + j] = 1.0
-            m[nsq + i * N_LIMBS + j, i + j + 1] = 1.0
-    return jnp.asarray(m)
+    Created ONCE as a CONCRETE device array (ensure_compile_time_eval guards
+    against caching a tracer when first touched inside a jit trace): closing
+    over the same ArrayImpl gives one shared constant per traced program
+    (inlining it per call bloated StableHLO by ~130KB per multiply)."""
+    global _COL_MATRIX
+    if _COL_MATRIX is None:
+        nsq = N_LIMBS * N_LIMBS
+        m = np.zeros((2 * nsq, WIDE), dtype=np.float32)
+        for i in range(N_LIMBS):
+            for j in range(N_LIMBS):
+                m[i * N_LIMBS + j, i + j] = 1.0
+                m[nsq + i * N_LIMBS + j, i + j + 1] = 1.0
+        with jax.ensure_compile_time_eval():
+            _COL_MATRIX = jnp.asarray(m)
+    return _COL_MATRIX
 
 
 def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

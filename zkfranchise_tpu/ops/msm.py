@@ -121,6 +121,25 @@ def window_digits(scalars: jnp.ndarray) -> jnp.ndarray:
 # Blelloch inclusive prefix scan over the point axis (-3 of packed points)
 # ---------------------------------------------------------------------------
 
+def _inclusive_scan_hillis(pts: jnp.ndarray, padd) -> jnp.ndarray:
+    """Hillis-Steele inclusive scan via ONE fori_loop (tiny traced program;
+    n*log n combiner work instead of Blelloch's 2n).  Used for the
+    compile-friendly mode (multi-chip dry runs / sharded tests), where
+    program size matters more than the ~7x extra vector work."""
+    n = pts.shape[-3]
+    log_n = n.bit_length() - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def body(l, x):
+        sh = jnp.left_shift(jnp.int32(1), l)
+        rolled = jnp.roll(x, sh, axis=-3)
+        comb = padd(x, rolled)
+        keep = lane >= sh
+        return jnp.where(keep, comb, x)
+
+    return jax.lax.fori_loop(0, log_n, body, pts)
+
+
 def _inclusive_scan(pts: jnp.ndarray, padd, pneg) -> jnp.ndarray:
     """pts: (..., n, C, 16), n a power of two. Returns inclusive prefix
     sums along the n axis using 2(n-1) vectorized adds in log depth."""
@@ -167,8 +186,8 @@ def _tree_reduce(pts: jnp.ndarray, padd, identity) -> jnp.ndarray:
 # MSM core
 # ---------------------------------------------------------------------------
 
-def _msm_packed(scalars: jnp.ndarray, points: jnp.ndarray, kind: str
-                ) -> jnp.ndarray:
+def _msm_packed(scalars: jnp.ndarray, points: jnp.ndarray, kind: str,
+                compile_friendly: bool = False) -> jnp.ndarray:
     """scalars (..., n, 16) plain form; points (n, C, 16) Montgomery.
     Returns packed result point (..., C, 16)."""
     padd, pneg, pidentity, C = _OPS[kind]
@@ -198,7 +217,10 @@ def _msm_packed(scalars: jnp.ndarray, points: jnp.ndarray, kind: str
         order = jnp.argsort(d, axis=-1)
         d_sorted = jnp.take_along_axis(d, order, axis=-1)
         pts = points[order]                             # (G, ..., n, C, L)
-        prefix = _inclusive_scan(pts, padd, pneg)
+        if compile_friendly:
+            prefix = _inclusive_scan_hillis(pts, padd)
+        else:
+            prefix = _inclusive_scan(pts, padd, pneg)
         total = prefix[..., n - 1, :, :]
         # cum[b] = prefix[count(d <= b) - 1]; count via compare-sum
         counts = jnp.sum(

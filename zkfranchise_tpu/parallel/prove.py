@@ -9,8 +9,10 @@ Parallel decomposition (SURVEY.md §2c):
     addition is not a psum-able op: limb arrays must be combined with the
     curve group law, so the collective is gather+reduce, not psum).
 
-The same code drives the real pod slice and the driver's virtual-CPU-device
-dry run.
+Stages are jitted separately (witness | quotient | per-MSM | assemble),
+mirroring groth16/device.py — one fused program at this size is not
+practically compilable.  The same code drives the real pod slice and the
+driver's virtual-CPU-device dry run.
 """
 from __future__ import annotations
 
@@ -26,6 +28,7 @@ from ..models.census import CensusCircuit
 from ..ops import ec_jax, limbs, msm, ntt, sparse
 from ..ops.limbs import FR, N_LIMBS
 from ..groth16 import qap
+from ..groth16.device import _bcast1, _bcast2
 
 
 def _pad_rows(arr: jnp.ndarray, mult: int, identity_row: np.ndarray
@@ -50,17 +53,28 @@ def _tree_reduce_axis0(pts: jnp.ndarray, padd, pidentity) -> jnp.ndarray:
 
 
 def _sharded_msm(scalars_full: jnp.ndarray, pts_shard: jnp.ndarray,
-                 kind: str, shard_size: int, axis: str) -> jnp.ndarray:
-    """scalars_full: (..., n_padded, 16) full scalar vector (replicated on
-    `axis`); pts_shard: (n_padded/axis_size, C, 16) this chip's slice.
-    Returns the full MSM result, identical on every member of `axis`."""
+                 kind: str, shard_size: int, axis: str,
+                 compile_friendly: bool = True) -> jnp.ndarray:
+    """scalars_full: (..., n_padded, L) full scalar vector (replicated on
+    `axis`); pts_shard: (n_padded/axis_size, C, L) this chip's slice.
+    Returns the full MSM result, identical on every member of `axis`.
+
+    compile_friendly defaults on: the sharded path is what multi-chip dry
+    runs compile on CPU, where the rolled-loop scan keeps program size
+    bounded (see ops/msm.py)."""
     padd, _, pidentity, _ = msm._OPS[kind]
     idx = jax.lax.axis_index(axis)
     sc = jax.lax.dynamic_slice_in_dim(
         scalars_full, idx * shard_size, shard_size, axis=-2)
-    partial = msm._msm_packed(sc, pts_shard, kind)       # (..., C, 16)
-    gathered = jax.lax.all_gather(partial, axis)         # (S, ..., C, 16)
+    partial = msm._msm_packed(sc, pts_shard, kind,
+                              compile_friendly=compile_friendly)
+    gathered = jax.lax.all_gather(partial, axis)         # (S, ..., C, L)
     return _tree_reduce_axis0(gathered, padd, pidentity)
+
+
+_IN_KEYS = ("electionId", "nullifier", "availableWeight", "voteHash",
+            "sikRoot", "censusRoot", "address", "password", "signature",
+            "voteWeight", "censusSiblings", "sikSiblings")
 
 
 class ShardedProver:
@@ -91,28 +105,30 @@ class ShardedProver:
         self.alpha = g1([pk.alpha_g1])[0]
         self.beta1 = g1([pk.beta_g1])[0]
         self.beta2 = g2([pk.beta_g2])[0]
-        self._step = self._build_step()
+        self._build_stages()
 
-    def _build_step(self):
+    def _build_stages(self):
         m, npub, n = self.pk_meta
         circuit = self.circuit
         arrays = self.arrays
         mesh = self.mesh
         nm = self.n_model
-        sa = self.a_pts.shape[0] // nm
-        sb1 = self.b1_pts.shape[0] // nm
-        sb2 = self.b2_pts.shape[0] // nm
-        sc_ = self.c_pts.shape[0] // nm
         alpha, beta1, beta2 = self.alpha, self.beta1, self.beta2
 
-        def pad_scalars(s: jnp.ndarray, total: int) -> jnp.ndarray:
-            return jnp.concatenate(
-                [s, jnp.zeros((*s.shape[:-2], total - s.shape[-2], N_LIMBS),
-                              jnp.uint32)], axis=-2)
+        def dmap(fn, in_specs, out_specs):
+            return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                     out_specs=out_specs, check_rep=False))
 
-        def step(inputs, r_plain, s_plain, a_pts, b1_pts, b2_pts, c_pts):
+        inspec_inputs = {k: P("data") for k in _IN_KEYS}
+
+        def witness_stage(inputs):
             w = circuit.witness(inputs)
-            w_plain = limbs.from_mont(w)
+            return w, limbs.from_mont(w)
+
+        self._witness = dmap(witness_stage, (inspec_inputs,),
+                             (P("data"), P("data")))
+
+        def quotient_stage(w):
             az = sparse.spmv(*arrays["a"], n, w)
             bz = sparse.spmv(*arrays["b"], n, w)
             cz = sparse.spmv(*arrays["c"], n, w)
@@ -121,65 +137,61 @@ class ShardedProver:
             c_cos = ntt.coset_evals_from_domain_evals(cz)
             c_tight = limbs.mont_mul(c_cos, jnp.asarray(FR.one_mont))
             q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_tight, FR)
-            q_plain = limbs.from_mont(q)
+            return limbs.from_mont(q)
 
-            r1 = r_plain[..., None, :]
-            s1 = s_plain[..., None, :]
-            wa = pad_scalars(jnp.concatenate([w_plain, r1], -2), sa * nm)
-            ws = pad_scalars(jnp.concatenate([w_plain, s1], -2), sb1 * nm)
-            pi_a = msm.unpack_g1(
-                _sharded_msm(wa, a_pts, "g1", sa, "model"))
-            pi_a = ec_jax.g1_add(pi_a, _bc1(alpha, pi_a))
-            pi_b1 = msm.unpack_g1(
-                _sharded_msm(ws, b1_pts, "g1", sb1, "model"))
-            pi_b1 = ec_jax.g1_add(pi_b1, _bc1(beta1, pi_b1))
-            pi_b = msm.unpack_g2(
-                _sharded_msm(ws, b2_pts, "g2", sb2, "model"))
-            pi_b = ec_jax.g2_add(pi_b, _bc2(beta2, pi_b))
+        self._quotient = dmap(quotient_stage, (P("data"),), P("data"))
 
-            rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
-            neg_rs = limbs.sub(jnp.zeros_like(rs), rs, FR)
-            c_scal = pad_scalars(jnp.concatenate(
-                [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
-                axis=-2), sc_ * nm)
-            pi_c = msm.unpack_g1(
-                _sharded_msm(c_scal, c_pts, "g1", sc_, "model"))
+        def make_msm(kind):
+            def stage(scalars, pts):
+                return _sharded_msm(scalars, pts, kind,
+                                    scalars.shape[-2] // nm, "model")
+            return dmap(stage, (P("data"), P("model")), P("data"))
+
+        self._msm_g1 = make_msm("g1")
+        self._msm_g2 = make_msm("g2")
+
+        def assemble(pa, pb1, pb, pc_partial, r_plain, s_plain):
+            pi_a = ec_jax.g1_add(msm.unpack_g1(pa), _bcast1(alpha, pa))
+            pi_b1 = ec_jax.g1_add(msm.unpack_g1(pb1), _bcast1(beta1, pb1))
+            pi_b = ec_jax.g2_add(msm.unpack_g2(pb), _bcast2(beta2, pb))
+            pi_c = msm.unpack_g1(pc_partial)
             pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_a, s_plain))
             pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_b1, r_plain))
+            return msm.pack_g1(pi_a), msm.pack_g2(pi_b), msm.pack_g1(pi_c)
 
-            publics = w_plain[..., 1:1 + npub, :]
-            return (msm.pack_g1(pi_a), msm.pack_g2(pi_b),
-                    msm.pack_g1(pi_c), publics)
-
-        in_specs = (
-            jax.tree.map(lambda _: P("data"), {
-                k: 0 for k in ["electionId", "nullifier", "availableWeight",
-                               "voteHash", "sikRoot", "censusRoot",
-                               "address", "password", "signature",
-                               "voteWeight", "censusSiblings",
-                               "sikSiblings"]}),
-            P("data"), P("data"),
-            P("model"), P("model"), P("model"), P("model"),
-        )
-        out_specs = (P("data"), P("data"), P("data"), P("data"))
-        fn = shard_map(step, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
-        return jax.jit(fn)
+        self._assemble = dmap(
+            assemble, (P("data"), P("data"), P("data"), P("data"),
+                       P("data"), P("data")),
+            (P("data"), P("data"), P("data")))
 
     def prove_batch_arrays(self, inputs: dict, r_arr, s_arr):
-        return self._step(inputs, r_arr, s_arr, self.a_pts, self.b1_pts,
-                          self.b2_pts, self.c_pts)
+        npub = self.pk_meta[1]
+        nm = self.n_model
 
+        def pad_scalars(s, total):
+            return jnp.concatenate(
+                [s, jnp.zeros((*s.shape[:-2], total - s.shape[-2], N_LIMBS),
+                              jnp.uint32)], axis=-2)
 
-def _bc1(packed: jnp.ndarray, like: ec_jax.G1Point) -> ec_jax.G1Point:
-    pt = msm.unpack_g1(packed)
-    return ec_jax.G1Point(jnp.broadcast_to(pt.x, like.x.shape),
-                          jnp.broadcast_to(pt.y, like.y.shape),
-                          jnp.broadcast_to(pt.z, like.z.shape))
-
-
-def _bc2(packed: jnp.ndarray, like: ec_jax.G2Point) -> ec_jax.G2Point:
-    pt = msm.unpack_g2(packed)
-    return ec_jax.G2Point(jnp.broadcast_to(pt.x, like.x.shape),
-                          jnp.broadcast_to(pt.y, like.y.shape),
-                          jnp.broadcast_to(pt.z, like.z.shape))
+        w, w_plain = self._witness(inputs)
+        q_plain = self._quotient(w)
+        r1 = r_arr[..., None, :]
+        s1 = s_arr[..., None, :]
+        wa = pad_scalars(jnp.concatenate([w_plain, r1], -2),
+                         self.a_pts.shape[0])
+        ws = pad_scalars(jnp.concatenate([w_plain, s1], -2),
+                         self.b1_pts.shape[0])
+        pa = self._msm_g1(wa, self.a_pts)
+        pb1 = self._msm_g1(ws, self.b1_pts)
+        pb = self._msm_g2(pad_scalars(jnp.concatenate([w_plain, s1], -2),
+                                      self.b2_pts.shape[0]), self.b2_pts)
+        rs = limbs.mont_mul(limbs.to_mont(r_arr), s_arr)
+        neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
+        c_scal = pad_scalars(jnp.concatenate(
+            [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
+            axis=-2), self.c_pts.shape[0])
+        pc_partial = self._msm_g1(c_scal, self.c_pts)
+        pa_f, pb_f, pc_f = self._assemble(pa, pb1, pb, pc_partial,
+                                          r_arr, s_arr)
+        publics = w_plain[..., 1:1 + npub, :]
+        return pa_f, pb_f, pc_f, publics
