@@ -10,12 +10,12 @@ radix buys a *lazy* arithmetic style that is the heart of the design:
     for amplitudes up to 4 ((4*(2^14-1))^2 < 2^32).
   * SUB is borrow-free: a - b == a + (D - b) where D is a precomputed
     spread multiple of p whose limbs dominate b's (per amplitude).
-  * MUL accumulates limb products as an exact f32 MATMUL against a constant
-    0/1 column-routing matrix (partial sums < 2^24), so the MXU carries the
-    multiplier throughput; full-word Montgomery reduction
-    (m = T_lo * (-p^-1 mod R) mod R, then (T + m*p) >> 280) has no
-    sequential limb recurrence.  ONE Kogge-Stone carry resolution per
-    multiply (needed for the exact shift by R); none anywhere else.
+  * MUL is an unrolled schoolbook shift-accumulate over uint32 lanes (VPU;
+    working set stays at 41 columns per lane — no big temps), and the
+    full-word Montgomery reduction (m = T_lo * (-p^-1 mod R) mod R, then
+    (T + m*p) >> 280) has no sequential limb recurrence.  ONE Kogge-Stone
+    carry resolution per multiply (needed for the exact shift by R); none
+    anywhere else.
   * Values are redundant — any representative of the residue class with
     value < ~2^272 and limbs < 2^16.  Montgomery outputs are < 2^265 with
     amplitude-1 limbs.  Canonical [0, p) form is produced only at
@@ -233,44 +233,23 @@ def neg(a: jnp.ndarray, fs: FieldSpec = FR, amp: int = 1,
 # wide products via constant matmul
 # ---------------------------------------------------------------------------
 
-_COL_MATRIX = None
-
-
-def _col_matrix() -> jnp.ndarray:
-    """(2*400, 41) 0/1 f32: routes lo(i,j) -> col i+j, hi(i,j) -> i+j+1.
-    Created ONCE as a CONCRETE device array (ensure_compile_time_eval guards
-    against caching a tracer when first touched inside a jit trace): closing
-    over the same ArrayImpl gives one shared constant per traced program
-    (inlining it per call bloated StableHLO by ~130KB per multiply)."""
-    global _COL_MATRIX
-    if _COL_MATRIX is None:
-        nsq = N_LIMBS * N_LIMBS
-        m = np.zeros((2 * nsq, WIDE), dtype=np.float32)
-        for i in range(N_LIMBS):
-            for j in range(N_LIMBS):
-                m[i * N_LIMBS + j, i + j] = 1.0
-                m[nsq + i * N_LIMBS + j, i + j + 1] = 1.0
-        with jax.ensure_compile_time_eval():
-            _COL_MATRIX = jnp.asarray(m)
-    return _COL_MATRIX
-
-
 def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full product columns: a, b (..., 20) with amplitude <= 4 ->
-    (..., 41) uint32 column sums (each < 2^24)."""
-    prod = a[..., :, None] * b[..., None, :]           # exact in uint32
-    lo = (prod & LIMB_MASK).astype(jnp.float32)
-    hi = (prod >> LIMB_BITS).astype(jnp.float32)
-    nsq = N_LIMBS * N_LIMBS
-    flat = jnp.concatenate(
-        [lo.reshape(*lo.shape[:-2], nsq), hi.reshape(*hi.shape[:-2], nsq)],
-        axis=-1)
-    cols = jax.lax.dot_general(
-        flat, _col_matrix(),
-        dimension_numbers=(((flat.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    return cols.astype(jnp.uint32)
+    (..., 41) uint32 column sums (each < 2^24).
+
+    Unrolled schoolbook accumulation: each step multiplies one limb of `a`
+    against all of `b` and shift-accumulates the lo/hi splits.  The working
+    set stays at (..., 41) — an earlier matmul-against-routing-matrix
+    formulation materialized (..., 800) f32 temps, which blew HBM (9GB+
+    temps) at MSM scan widths and was memory- not compute-bound."""
+    cols = jnp.zeros((*a.shape[:-1], WIDE), dtype=jnp.uint32)
+    for i in range(N_LIMBS):
+        prod = a[..., i:i + 1] * b                     # (..., 20), exact
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        cols = cols.at[..., i:i + N_LIMBS].add(lo)
+        cols = cols.at[..., i + 1:i + N_LIMBS + 1].add(hi)
+    return cols
 
 
 # ---------------------------------------------------------------------------
