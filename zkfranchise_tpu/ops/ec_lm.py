@@ -1,0 +1,249 @@
+"""Limb-major EC arithmetic for BN254 G1/G2 (packed plane layout).
+
+Points are homogeneous projective (X:Y:Z), coordinates in Montgomery form
+over the 21x13 limb-major core (ops/lm.py):
+
+  * G1 point plane: (..., 63, T) int32 — rows [0:21) X, [21:42) Y,
+    [42:63) Z; T elements ride the lanes.
+  * G2 point plane: (..., 126, T) — each Fq2 coordinate is two stacked
+    21-row Fq values (re, im).
+
+The complete addition formulas (Renes–Costello–Batina 2015, Algorithm 7,
+a=0) are branch-free, so one function covers add/double/identity — the
+right shape for both Pallas kernel bodies and plain XLA (the functions
+run under either; see ops/pallas/lm_kernels.py for the kernel wrappers).
+
+Replaces the curve arithmetic inside go-rapidsnark/snarkjs (SURVEY.md §2b;
+consumed at /root/reference/zk_census_test.go:89).  Host oracle: ops/ec.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ec, ff, lm
+
+NL = lm.N_LIMBS                       # 21
+G1_ROWS = 3 * NL                      # 63
+G2_ROWS = 6 * NL                      # 126
+
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+_R = 1 << lm.R_BITS
+_Q = ff.P_FQ
+
+
+def _mont_col(x: int) -> np.ndarray:
+    return lm.int_to_limbs(x * _R % _Q)[:, None].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def b3_g1() -> np.ndarray:
+    return _mont_col(9)               # 3*b, b = 3
+
+
+@functools.lru_cache(maxsize=None)
+def b3_g2() -> np.ndarray:
+    """(42, 1): Fq2 3*b' for the twist, stacked (re, im)."""
+    b3 = ec.fq2_scalar(ec.B2, 3)
+    return np.concatenate([_mont_col(b3[0]), _mont_col(b3[1])], axis=0)
+
+
+def pack_ec_consts(tile: int = 1) -> np.ndarray:
+    """(7*21, tile) int32 constants block for kernels: 4 FQ field rows
+    + b3_g1 + b3_g2 (re, im), all materialized at lane width `tile`
+    (in-kernel slices of lane-broadcasts don't lower on Mosaic)."""
+    col = np.concatenate(
+        [lm.pack_consts(lm.FQ), b3_g1(), b3_g2()], axis=0)   # (147, 1)
+    return np.broadcast_to(col, (7 * NL, tile)).copy().astype(np.int32)
+
+
+def unpack_ec_consts(c):
+    """-> (KernelField, b3g1 (21, T), b3g2 (42, T))."""
+    fs = lm.unpack_consts(c[..., :4 * NL, :])
+    b31 = c[..., 4 * NL:5 * NL, :]
+    b32 = c[..., 5 * NL:7 * NL, :]
+    return fs, b31, b32
+
+
+# ---------------------------------------------------------------------------
+# Fq / Fq2 helpers on plane slices
+# ---------------------------------------------------------------------------
+
+def _fq2_mul(a, b, fs):
+    """a, b: (..., 42, T) stacked (re, im).  Schoolbook: 4 Fq muls."""
+    a0, a1 = a[..., :NL, :], a[..., NL:, :]
+    b0, b1 = b[..., :NL, :], b[..., NL:, :]
+    # one batched mont_mul over 4 stacked lanes would need a lane concat;
+    # rows are cheap to stack instead (sublane concat)
+    lhs = jnp.concatenate([a0, a1, a0, a1], axis=-2).reshape(
+        *a.shape[:-2], 4, NL, a.shape[-1])
+    rhs = jnp.concatenate([b0, b1, b1, b0], axis=-2).reshape(
+        *b.shape[:-2], 4, NL, b.shape[-1])
+    v = lm.mont_mul(lhs, rhs, fs)
+    re = lm.sub_n(v[..., 0, :, :], v[..., 1, :, :], fs)
+    im = lm.add_n(v[..., 2, :, :], v[..., 3, :, :])
+    return jnp.concatenate([re, im], axis=-2)
+
+
+def _fq2_add_n(a, b):
+    return lm.weak_norm(a + b)
+
+
+def _fq2_sub_n(a, b, fs):
+    d = jnp.asarray(fs.sub_d)
+    dd = jnp.concatenate([d, d], axis=-2)
+    return lm.weak_norm(a + (dd - b))
+
+
+# ---------------------------------------------------------------------------
+# complete addition (RCB15 Algorithm 7, a = 0)
+# ---------------------------------------------------------------------------
+
+def _padd(x1, y1, z1, x2, y2, z2, fmul, fadd_n, fsub_n, b3, fs):
+    """RCB15 Algorithm 7 (a = 0).  fadd_n/fsub_n return NORMALIZED limbs
+    (every sum/difference here later feeds a multiply or a subtrahend)."""
+    t0 = fmul(x1, x2, fs)
+    t1 = fmul(y1, y2, fs)
+    t2 = fmul(z1, z2, fs)
+    t3 = fmul(fadd_n(x1, y1), fadd_n(x2, y2), fs)
+    t3 = fsub_n(t3, fadd_n(t0, t1), fs)             # X1Y2 + X2Y1
+    t4 = fmul(fadd_n(y1, z1), fadd_n(y2, z2), fs)
+    t4 = fsub_n(t4, fadd_n(t1, t2), fs)             # Y1Z2 + Y2Z1
+    x3 = fmul(fadd_n(x1, z1), fadd_n(x2, z2), fs)
+    y3 = fsub_n(x3, fadd_n(t0, t2), fs)             # X1Z2 + X2Z1
+    x3 = lm.weak_norm(t0 + t0 + t0)                 # 3*X1X2
+    t2b = fmul(b3, t2, fs)
+    z3 = fadd_n(t1, t2b)
+    t1 = fsub_n(t1, t2b, fs)
+    y3b = fmul(b3, y3, fs)
+    x3o = fsub_n(fmul(t3, t1, fs), fmul(t4, y3b, fs), fs)
+    y3o = fadd_n(fmul(y3b, x3, fs), fmul(t1, z3, fs))
+    z3o = fadd_n(fmul(z3, t4, fs), fmul(x3, t3, fs))
+    return x3o, y3o, z3o
+
+
+def _g1_coords(p):
+    return p[..., :NL, :], p[..., NL:2 * NL, :], p[..., 2 * NL:, :]
+
+
+def padd_g1(p, q, fs=lm.FQ, b3=None):
+    """p, q: (..., 63, T) -> (..., 63, T); complete (handles identity &
+    doubling).  Outputs normalized (limbs <= 2^13 + eps)."""
+    if b3 is None:
+        b3 = jnp.asarray(b3_g1())
+    x1, y1, z1 = _g1_coords(p)
+    x2, y2, z2 = _g1_coords(q)
+    x3, y3, z3 = _padd(x1, y1, z1, x2, y2, z2,
+                       lm.mont_mul, lm.add_n,
+                       lambda a, b, f: lm.sub_n(a, b, f), b3, fs)
+    return jnp.concatenate([x3, y3, z3], axis=-2)
+
+
+def _g2_coords(p):
+    return (p[..., :2 * NL, :], p[..., 2 * NL:4 * NL, :],
+            p[..., 4 * NL:, :])
+
+
+def padd_g2(p, q, fs=lm.FQ, b3=None):
+    """p, q: (..., 126, T) -> (..., 126, T)."""
+    if b3 is None:
+        b3 = jnp.asarray(b3_g2())
+
+    x1, y1, z1 = _g2_coords(p)
+    x2, y2, z2 = _g2_coords(q)
+    # _padd with Fq2 ops (weak_norm / add work rowwise on both halves)
+    x3, y3, z3 = _padd(x1, y1, z1, x2, y2, z2,
+                       _fq2_mul, _fq2_add_n,
+                       lambda a, b, f: _fq2_sub_n(a, b, f), b3, fs)
+    return jnp.concatenate([x3, y3, z3], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# identities / selection
+# ---------------------------------------------------------------------------
+
+def g1_identity_plane(batch, T) -> np.ndarray:
+    out = np.zeros((*batch, G1_ROWS, T), np.int32)
+    out[..., NL:2 * NL, :] = lm.FQ.one_mont
+    return out
+
+
+def g2_identity_plane(batch, T) -> np.ndarray:
+    out = np.zeros((*batch, G2_ROWS, T), np.int32)
+    out[..., 2 * NL:3 * NL, :] = lm.FQ.one_mont
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host conversions
+# ---------------------------------------------------------------------------
+
+def g1_table(points: list) -> np.ndarray:
+    """Affine host points [(x, y) | None] -> (N, 63) int32 row table in
+    Montgomery projective form (row layout matches the plane layout after
+    a transpose)."""
+    n = len(points)
+    out = np.zeros((n, G1_ROWS), np.int32)
+    for j, pt in enumerate(points):
+        if pt is None:
+            out[j, NL:2 * NL] = lm.FQ.one_mont[:, 0]
+        else:
+            out[j, :NL] = lm.int_to_limbs(pt[0] * _R % _Q)
+            out[j, NL:2 * NL] = lm.int_to_limbs(pt[1] * _R % _Q)
+            out[j, 2 * NL:] = lm.int_to_limbs(_R % _Q)
+    return out
+
+
+def g2_table(points: list) -> np.ndarray:
+    n = len(points)
+    out = np.zeros((n, G2_ROWS), np.int32)
+    one = lm.int_to_limbs(_R % _Q)
+    for j, pt in enumerate(points):
+        if pt is None:
+            out[j, 2 * NL:3 * NL] = one
+        else:
+            (x0, x1), (y0, y1) = pt[0], pt[1]
+            out[j, 0 * NL:1 * NL] = lm.int_to_limbs(x0 * _R % _Q)
+            out[j, 1 * NL:2 * NL] = lm.int_to_limbs(x1 * _R % _Q)
+            out[j, 2 * NL:3 * NL] = lm.int_to_limbs(y0 * _R % _Q)
+            out[j, 3 * NL:4 * NL] = lm.int_to_limbs(y1 * _R % _Q)
+            out[j, 4 * NL:5 * NL] = one
+    return out
+
+
+def g1_plane_to_affine(plane) -> list:
+    """(..., 63, T) device plane -> list of affine (x, y) | None."""
+    x = lm.lm_to_ints(np.asarray(lm.from_mont(plane[..., :NL, :], lm.FQ)))
+    y = lm.lm_to_ints(np.asarray(
+        lm.from_mont(plane[..., NL:2 * NL, :], lm.FQ)))
+    z = lm.lm_to_ints(np.asarray(lm.from_mont(plane[..., 2 * NL:, :], lm.FQ)))
+    out = []
+    for xi, yi, zi in zip(x, y, z):
+        if zi == 0:
+            out.append(None)
+        else:
+            zinv = ff.inv_mod(zi, _Q)
+            out.append((xi * zinv % _Q, yi * zinv % _Q))
+    return out
+
+
+def g2_plane_to_affine(plane) -> list:
+    c = [lm.lm_to_ints(np.asarray(lm.from_mont(
+        plane[..., i * NL:(i + 1) * NL, :], lm.FQ))) for i in range(6)]
+    out = []
+    for k in range(len(c[0])):
+        zt = (c[4][k], c[5][k])
+        if zt == (0, 0):
+            out.append(None)
+            continue
+        zinv = ec.fq2_inv(zt)
+        xt = ec.fq2_mul((c[0][k], c[1][k]), zinv)
+        yt = ec.fq2_mul((c[2][k], c[3][k]), zinv)
+        out.append((xt, yt))
+    return out
