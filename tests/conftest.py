@@ -25,6 +25,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# sitecustomize imports jax before this file runs, so the
+# JAX_COMPILATION_CACHE_DIR env var was read too late — set it directly
+# (without this, every pytest run recompiles everything from scratch).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 sys.path.insert(0, _REPO)

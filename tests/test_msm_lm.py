@@ -1,0 +1,64 @@
+"""Golden tests for the limb-major MSM (ops/msm_lm.py) vs the host oracle."""
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from zkfranchise_tpu.ops import ec, ec_lm, ff, limbs, msm_lm
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msm_jit(sc, table, kind):
+    return msm_lm.msm(sc, table, kind)
+
+RNG = np.random.default_rng(3)
+
+
+def _scalars(b, n, small=False):
+    hi = 1 << (16 if small else 254)
+    return [[int.from_bytes(RNG.bytes(32), "big") % min(hi, ff.P_FR)
+             for _ in range(n)] for _ in range(b)]
+
+
+def _run(b, n, kind, scal=None, pts=None):
+    scal = scal if scal is not None else _scalars(b, n)
+    if pts is None:
+        if kind == "g1":
+            pts = [ec.g1_mul(j + 3) for j in range(n)]
+        else:
+            pts = [ec.g2_mul(j + 3) for j in range(n)]
+    table = jnp.asarray(
+        (ec_lm.g1_table if kind == "g1" else ec_lm.g2_table)(pts))
+    sc = jnp.asarray(np.stack(
+        [limbs.ints_to_limbs(row) for row in scal]))          # (b, n, 20)
+    out = _msm_jit(sc, table, kind)
+    if kind == "g1":
+        got = ec_lm.g1_plane_to_affine(out)
+    else:
+        got = ec_lm.g2_plane_to_affine(out)
+    grp = ec.G1 if kind == "g1" else ec.G2
+    want = [ec.msm_host(row, pts, grp) for row in scal]
+    assert got == want
+
+
+def test_msm_g1_small():
+    _run(2, 5, "g1")
+
+
+def test_msm_g1_pow2():
+    _run(1, 8, "g1")
+
+
+def test_msm_g1_zero_and_dup_scalars():
+    scal = [[0, 1, 2, 2, 0, ff.P_FR - 1, 12345, 1 << 200]]
+    _run(1, 8, "g1", scal=scal)
+
+
+def test_msm_g1_identity_points():
+    pts = [ec.g1_mul(5), None, ec.g1_mul(9)]
+    _run(1, 3, "g1", pts=pts)
+
+
+def test_msm_g2_small():
+    _run(1, 5, "g2")

@@ -8,3 +8,18 @@ prover/verifier — batch-oriented and sharded over TPU device meshes.
 """
 
 __version__ = "0.1.0"
+
+# Enable the persistent compilation cache as early as possible.  This
+# environment's sitecustomize imports jax at interpreter start, so the
+# JAX_COMPILATION_CACHE_DIR env var set by scripts is read too late;
+# updating the config directly works at any point before first compile.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                    _os.path.join(_os.path.dirname(_os.path.dirname(
+                        _os.path.abspath(__file__))), ".jax_cache")))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -3,15 +3,18 @@
 A batch of voters' circuit inputs goes through four jitted stages:
   1. witness generation (models/census.py),
   2. R1CS row evaluation + coset-NTT quotient (ops/sparse.py, ops/ntt.py),
-  3. five MSMs (ops/msm.py) with the r/s blinding folded into extended
-     scalar/point tables,
-  4. proof assembly (two batched scalar-muls + point adds).
+  3. four MSMs (ops/msm_lm.py — limb-major Pallas Pippenger) with the
+     r/s blinding folded into extended scalar/point tables,
+  4. proof assembly (two batched scalar-muls + point adds, limb-major).
 
-Staged jits keep each XLA program at a compilable size and let the A/B1
-MSMs share one compiled executable (same shapes).  This is the work the
-reference delegates to go-rapidsnark/snarkjs
-(/root/reference/zk_census_test.go:89), re-designed as XLA programs over
-limb arrays.  Only the final projective->affine conversion runs on host.
+The B1/B2 tables are compacted: wires whose B-polynomial is zero
+contribute identity points, which the setup emits as None — dropping
+them (3233 of 10148 at nlevels=16) halves the padded MSM size.
+
+This is the work the reference delegates to go-rapidsnark/snarkjs
+(/root/reference/zk_census_test.go:89), re-designed as XLA+Pallas
+programs over limb planes.  Only the final projective->affine conversion
+runs on host.
 """
 from __future__ import annotations
 
@@ -22,8 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.census import CensusCircuit
-from ..ops import ec_jax, ff, limbs, msm, ntt, sparse
+from ..ops import ec_lm, ff, limbs, lm, msm_lm, ntt, sparse
 from ..ops.limbs import FR, N_LIMBS
+from ..ops.pallas import lm_kernels as K
 from . import qap
 from .setup import ProvingKey
 from .verify import Proof
@@ -31,44 +35,66 @@ from .verify import Proof
 P = ff.P_FR
 
 
+def _bits_of_old(scalar_old: jnp.ndarray, nbits: int = 254) -> jnp.ndarray:
+    """(B, 20) uint32 14-bit plain limbs -> (nbits, B) int32 bits."""
+    rows = []
+    for i in range(nbits):
+        limb = scalar_old[..., i // limbs.LIMB_BITS].astype(jnp.int32)
+        rows.append((limb >> (i % limbs.LIMB_BITS)) & 1)
+    return jnp.stack(rows, axis=0)
+
+
+def scalar_mul_plane(p: jnp.ndarray, bits: jnp.ndarray,
+                     kind: str) -> jnp.ndarray:
+    """p: (rows, B) point plane; bits: (nbits, B) -> (rows, B)."""
+    fn = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2
+    acc0 = jnp.asarray(K.identity_plane(kind, (), p.shape[-1]))
+
+    def body(i, carry):
+        acc, base = carry
+        b = bits[i]
+        added = fn(acc, base)
+        acc = jnp.where((b == 1)[None, :], added, acc)
+        return acc, fn(base, base)
+
+    acc, _ = jax.lax.fori_loop(0, bits.shape[0], body, (acc0, p))
+    return acc
+
+
 class DeviceProver:
     """Holds device-resident proving-key tables + the jitted prove stages."""
 
     def __init__(self, circuit: CensusCircuit, pk: ProvingKey,
                  compile_friendly: bool = False):
-        """compile_friendly selects the rolled-loop MSM scan (small traced
-        programs, ~7x more vector work) — for tests/dry-runs on weak hosts;
-        production keeps the unrolled Blelloch scan."""
+        """compile_friendly is accepted for API compatibility (the
+        limb-major MSM is compile-friendly by construction)."""
         self.circuit = circuit
-        self.compile_friendly = compile_friendly
         self.pk_meta = (pk.n_vars, pk.n_public, pk.domain)
         cs = circuit.cs
         self.arrays = cs.export_arrays(
             extra_rows=qap.binding_rows(cs.num_public))
         assert self.arrays["num_constraints"] <= pk.domain
 
-        g1pack = lambda pts: msm.pack_g1(ec_jax.g1_from_affine_host(pts))
-        g2pack = lambda pts: msm.pack_g2(ec_jax.g2_from_affine_host(pts))
-        # A/B1 tables extended with delta for the r/s blinding term
-        self.a_pts = g1pack(pk.a_g1 + [pk.delta_g1])
-        self.b1_pts = g1pack(pk.b_g1 + [pk.delta_g1])
-        self.b2_pts = g2pack(pk.b_g2 + [pk.delta_g2])
-        # C table: private wires + H table + delta (for the -rs term)
-        self.c_pts = g1pack(pk.k_g1 + pk.h_g1 + [pk.delta_g1])
-        self.alpha = g1pack([pk.alpha_g1])[0]
-        self.beta1 = g1pack([pk.beta_g1])[0]
-        self.beta2 = g2pack([pk.beta_g2])[0]
+        # --- limb-major point tables -------------------------------------
+        self.a_tab = jnp.asarray(ec_lm.g1_table(pk.a_g1 + [pk.delta_g1]))
+        # compacted B tables (B_i zero <=> both G1/G2 entries are None)
+        nz = [i for i, pt in enumerate(pk.b_g1) if pt is not None]
+        assert all((pk.b_g2[i] is not None) == (pk.b_g1[i] is not None)
+                   for i in range(len(pk.b_g1)))
+        self.b_nz = np.asarray(nz + [len(pk.b_g1)], dtype=np.int32)
+        self.b1_tab = jnp.asarray(
+            ec_lm.g1_table([pk.b_g1[i] for i in nz] + [pk.delta_g1]))
+        self.b2_tab = jnp.asarray(
+            ec_lm.g2_table([pk.b_g2[i] for i in nz] + [pk.delta_g2]))
+        self.c_tab = jnp.asarray(
+            ec_lm.g1_table(pk.k_g1 + pk.h_g1 + [pk.delta_g1]))
+        self.alpha = jnp.asarray(ec_lm.g1_table([pk.alpha_g1]).T)   # (63,1)
+        self.beta1 = jnp.asarray(ec_lm.g1_table([pk.beta_g1]).T)
+        self.beta2 = jnp.asarray(ec_lm.g2_table([pk.beta_g2]).T)    # (126,1)
 
-        cf = compile_friendly
         self._witness_jit = jax.jit(self._witness_stage)
         self._quotient_jit = jax.jit(self._quotient_stage)
-        # one executable serves both A and B1 (same shapes)
-        self._msm_g1_jit = jax.jit(
-            lambda sc, pts: msm._msm_packed(sc, pts, "g1",
-                                            compile_friendly=cf))
-        self._msm_g2_jit = jax.jit(
-            lambda sc, pts: msm._msm_packed(sc, pts, "g2",
-                                            compile_friendly=cf))
+        self._msm_jit = jax.jit(msm_lm.msm, static_argnums=(2,))
         self._assemble_jit = jax.jit(self._assemble_stage)
 
     # -- stage 1: witness ----------------------------------------------------
@@ -85,49 +111,77 @@ class DeviceProver:
         a_cos = ntt.coset_evals_from_domain_evals(az)
         b_cos = ntt.coset_evals_from_domain_evals(bz)
         c_cos = ntt.coset_evals_from_domain_evals(cz)
-        # forward-NTT outputs are value-loose; tighten c before it becomes a
-        # subtrahend (multiply by the Montgomery one keeps the class)
         c_tight = limbs.mont_mul(c_cos, jnp.asarray(FR.one_mont))
         q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_tight, FR)
         return limbs.from_mont(q)
 
-    # -- stage 4: blinding combination --------------------------------------
-    def _assemble_stage(self, pa, pb1, pb, pc_partial, r_plain, s_plain):
-        pi_a = ec_jax.g1_add(msm.unpack_g1(pa), _bcast1(self.alpha, pa))
-        pi_b1 = ec_jax.g1_add(msm.unpack_g1(pb1), _bcast1(self.beta1, pb1))
-        pi_b = ec_jax.g2_add(msm.unpack_g2(pb), _bcast2(self.beta2, pb))
-        pi_c = msm.unpack_g1(pc_partial)
-        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_a, s_plain))
-        pi_c = ec_jax.g1_add(pi_c, ec_jax.g1_scalar_mul(pi_b1, r_plain))
-        return msm.pack_g1(pi_a), msm.pack_g2(pi_b), msm.pack_g1(pi_c)
+    # -- stage 4: blinding combination (limb-major planes) -------------------
+    def _assemble_stage(self, pa, pb1, pb2, pc_partial, r_old, s_old):
+        """pa/pb1/pc: (B, 63, 1); pb2: (B, 126, 1); r/s: (B, 20) plain."""
+        to_lane = lambda x: jnp.swapaxes(x[..., 0], 0, 1)   # -> (rows, B)
+        pa, pb1, pc = to_lane(pa), to_lane(pb1), to_lane(pc_partial)
+        pb2 = to_lane(pb2)
+        pi_a = ec_lm.padd_g1(pa, jnp.broadcast_to(self.alpha, pa.shape))
+        pi_b1 = ec_lm.padd_g1(pb1, jnp.broadcast_to(self.beta1, pb1.shape))
+        pi_b = ec_lm.padd_g2(pb2, jnp.broadcast_to(self.beta2, pb2.shape))
+        s_bits = _bits_of_old(s_old)
+        r_bits = _bits_of_old(r_old)
+        pi_c = ec_lm.padd_g1(pc, scalar_mul_plane(pi_a, s_bits, "g1"))
+        pi_c = ec_lm.padd_g1(pi_c, scalar_mul_plane(pi_b1, r_bits, "g1"))
+        return pi_a, pi_b, pi_c
 
     # -- full pipeline -------------------------------------------------------
     def prove_arrays(self, inputs: dict, r_plain: jnp.ndarray,
                      s_plain: jnp.ndarray):
-        """Batched prove; returns packed (pi_a, pi_b, pi_c, publics)."""
-        npub = self.pk_meta[1]
+        """Batched prove; returns limb-major planes
+        (pi_a (63,B), pi_b (126,B), pi_c (63,B), publics)."""
         w, w_plain = self._witness_jit(inputs)
         q_plain = self._quotient_jit(w)
+        return self._msm_and_assemble(w_plain, q_plain, r_plain, s_plain)
 
+    def _msm_and_assemble(self, w_plain, q_plain, r_plain, s_plain):
+        npub = self.pk_meta[1]
         r1 = r_plain[..., None, :]
         s1 = s_plain[..., None, :]
         wa = jnp.concatenate([w_plain, r1], axis=-2)
         ws = jnp.concatenate([w_plain, s1], axis=-2)
-        pa = self._msm_g1_jit(wa, self.a_pts)
-        pb1 = self._msm_g1_jit(ws, self.b1_pts)
-        pb = self._msm_g2_jit(ws, self.b2_pts)
+        ws_b = ws[..., jnp.asarray(self.b_nz), :]
+        pa = self._msm_jit(wa, self.a_tab, "g1")
+        pb1 = self._msm_jit(ws_b, self.b1_tab, "g1")
+        pb2 = self._msm_jit(ws_b, self.b2_tab, "g2")
 
         rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
         neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
         c_scalars = jnp.concatenate(
             [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
             axis=-2)
-        pc_partial = self._msm_g1_jit(c_scalars, self.c_pts)
+        pc = self._msm_jit(c_scalars, self.c_tab, "g1")
 
-        pa_f, pb_f, pc_f = self._assemble_jit(pa, pb1, pb, pc_partial,
+        pi_a, pi_b, pi_c = self._assemble_jit(pa, pb1, pb2, pc,
                                               r_plain, s_plain)
         publics = w_plain[..., 1:1 + npub, :]
-        return pa_f, pb_f, pc_f, publics
+        return pi_a, pi_b, pi_c, publics
+
+    def fused_step(self, inputs: dict, r_plain, s_plain):
+        """Whole pipeline as one traceable function (driver compile check)."""
+        w, w_plain = self._witness_stage(inputs)
+        q_plain = self._quotient_stage(w)
+        npub = self.pk_meta[1]
+        wa = jnp.concatenate([w_plain, r_plain[..., None, :]], axis=-2)
+        ws = jnp.concatenate([w_plain, s_plain[..., None, :]], axis=-2)
+        ws_b = ws[..., jnp.asarray(self.b_nz), :]
+        pa = msm_lm.msm(wa, self.a_tab, "g1")
+        pb1 = msm_lm.msm(ws_b, self.b1_tab, "g1")
+        pb2 = msm_lm.msm(ws_b, self.b2_tab, "g2")
+        rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
+        neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
+        c_scalars = jnp.concatenate(
+            [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
+            axis=-2)
+        pc = msm_lm.msm(c_scalars, self.c_tab, "g1")
+        pi_a, pi_b, pi_c = self._assemble_stage(pa, pb1, pb2, pc,
+                                                r_plain, s_plain)
+        return pi_a, pi_b, pi_c, w_plain[..., 1:1 + npub, :]
 
     # -- host wrapper --------------------------------------------------------
     def prove_batch(self, inputs: dict, seed: int = 0):
@@ -145,9 +199,10 @@ class DeviceProver:
         return self.finalize(pa, pb, pc, publics)
 
     def finalize(self, pa, pb, pc, publics):
-        a_aff = ec_jax.g1_to_affine_host(msm.unpack_g1(pa))
-        b_aff = ec_jax.g2_to_affine_host(msm.unpack_g2(pb))
-        c_aff = ec_jax.g1_to_affine_host(msm.unpack_g1(pc))
+        """pa/pc: (63, B); pb: (126, B) planes -> snarkjs-format proofs."""
+        a_aff = ec_lm.g1_plane_to_affine(pa)
+        b_aff = ec_lm.g2_plane_to_affine(pb)
+        c_aff = ec_lm.g1_plane_to_affine(pc)
         pub_ints = limbs.limbs_to_ints(np.asarray(publics))
         npub = self.pk_meta[1]
         pubs = [pub_ints[i:i + npub] for i in range(0, len(pub_ints), npub)]
@@ -160,21 +215,3 @@ class DeviceProver:
                 "pi_c": [str(c[0]), str(c[1]), "1"],
             }))
         return proofs, pubs
-
-
-def _bcast1(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G1Point:
-    pt = msm.unpack_g1(pt_packed)
-    like = msm.unpack_g1(like_packed)
-    return ec_jax.G1Point(
-        jnp.broadcast_to(pt.x, like.x.shape),
-        jnp.broadcast_to(pt.y, like.y.shape),
-        jnp.broadcast_to(pt.z, like.z.shape))
-
-
-def _bcast2(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G2Point:
-    pt = msm.unpack_g2(pt_packed)
-    like = msm.unpack_g2(like_packed)
-    return ec_jax.G2Point(
-        jnp.broadcast_to(pt.x, like.x.shape),
-        jnp.broadcast_to(pt.y, like.y.shape),
-        jnp.broadcast_to(pt.z, like.z.shape))

@@ -90,10 +90,16 @@ def _double_k(x: jnp.ndarray, k: int, kind: str) -> jnp.ndarray:
 
 
 def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
-        window_group: int = 8) -> jnp.ndarray:
+        window_group: int | None = None) -> jnp.ndarray:
     """scalars_plain: (B, n, 20) uint32 canonical lane-minor plain form;
     table: (n, rows) int32 point rows (Montgomery projective).
-    Returns (B, rows, 1) packed result planes."""
+    Returns (B, rows, 1) packed result planes.
+
+    window_group bounds peak memory (the (G*B, m, rows) point gather):
+    8 on TPU; a single 32-window group elsewhere (CPU tests/dry-runs are
+    tiny, and one group keeps the traced program 4x smaller)."""
+    if window_group is None:
+        window_group = 8 if K.on_tpu() else N_WINDOWS
     rows = table.shape[-1]
     B, n = scalars_plain.shape[0], scalars_plain.shape[1]
     assert table.shape[0] == n

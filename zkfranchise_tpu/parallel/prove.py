@@ -28,7 +28,24 @@ from ..models.census import CensusCircuit
 from ..ops import ec_jax, limbs, msm, ntt, sparse
 from ..ops.limbs import FR, N_LIMBS
 from ..groth16 import qap
-from ..groth16.device import _bcast1, _bcast2
+
+
+def _bcast1(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G1Point:
+    pt = msm.unpack_g1(pt_packed)
+    like = msm.unpack_g1(like_packed)
+    return ec_jax.G1Point(
+        jnp.broadcast_to(pt.x, like.x.shape),
+        jnp.broadcast_to(pt.y, like.y.shape),
+        jnp.broadcast_to(pt.z, like.z.shape))
+
+
+def _bcast2(pt_packed: jnp.ndarray, like_packed: jnp.ndarray) -> ec_jax.G2Point:
+    pt = msm.unpack_g2(pt_packed)
+    like = msm.unpack_g2(like_packed)
+    return ec_jax.G2Point(
+        jnp.broadcast_to(pt.x, like.x.shape),
+        jnp.broadcast_to(pt.y, like.y.shape),
+        jnp.broadcast_to(pt.z, like.z.shape))
 
 
 def _pad_rows(arr: jnp.ndarray, mult: int, identity_row: np.ndarray
