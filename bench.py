@@ -50,7 +50,7 @@ def get_or_make_inputs():
     from zkfranchise_tpu import inputs as inp
 
     cache = ROOT / "artifacts" / "zkCensus" / "dev" / str(N_LEVELS) / \
-        f"bench_inputs_{BATCH}.npz"
+        f"bench_inputs_lm_{BATCH}.npz"
     if cache.exists():
         data = np.load(cache)
         return {k: data[k] for k in data.files}
@@ -105,13 +105,12 @@ def main():
 def prover_rs(prover, seed):
     import jax.numpy as jnp
     import numpy as np
-    from zkfranchise_tpu.ops import ff, limbs
+    from zkfranchise_tpu.ops import ff, lm
 
     rng = np.random.default_rng(seed)
     r = [int.from_bytes(rng.bytes(31), "big") % ff.P_FR for _ in range(BATCH)]
     s = [int.from_bytes(rng.bytes(31), "big") % ff.P_FR for _ in range(BATCH)]
-    return (jnp.asarray(limbs.ints_to_limbs(r)),
-            jnp.asarray(limbs.ints_to_limbs(s)))
+    return (jnp.asarray(lm.ints_to_lm(r)), jnp.asarray(lm.ints_to_lm(s)))
 
 
 if __name__ == "__main__":

@@ -9,9 +9,15 @@ import pytest
 
 from zkfranchise_tpu import inputs as inp
 from zkfranchise_tpu.models.census import CensusCircuit, inputs_to_limbs
-from zkfranchise_tpu.ops import limbs
+from zkfranchise_tpu.ops import lm
 
 GOLDEN = "/root/reference/artifacts/zkCensus/dev/160/inputs_example.json"
+
+
+def witness_ints(circ, w, voter=0):
+    """(num_vars, 21, T) Montgomery witness -> plain ints for one voter."""
+    plain = lm.from_mont(w[..., voter:voter + 1], lm.FR)
+    return lm.lm_to_ints(np.asarray(plain))
 
 
 @pytest.fixture(scope="module")
@@ -29,13 +35,13 @@ def witness4(circ4):
 
 def test_witness_satisfies_r1cs(circ4, witness4):
     _, w = witness4
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
-    assert circ4.cs.check_satisfied(w_ints) is None
+    assert circ4.cs.check_satisfied(witness_ints(circ4, w)) is None
 
 
 def test_public_signal_order(circ4, witness4):
     ci, w = witness4
-    pub = [str(x) for x in limbs.limbs_to_ints(circ4.public_signals(w))]
+    pub = [str(x) for x in lm.lm_to_ints(
+        np.asarray(circ4.public_signals(w)))]
     # reference order (signals.json): eid0, eid1, nullifier, voteHash0,
     # voteHash1, sikRoot, censusRoot, voteWeight
     assert pub == [ci.electionId[0], ci.electionId[1], ci.nullifier,
@@ -47,18 +53,16 @@ def test_batched_witness(circ4):
     batch = inp.mock_batch(4, 2, seed=1)
     arrs = inp.batch_to_arrays(batch, 4)
     w = jax.jit(circ4.witness)(arrs)
-    assert w.shape[0] == 2
+    assert w.shape[-1] == 2
     for i in range(2):
-        w_ints = limbs.limbs_to_ints(limbs.from_mont(w[i]))
-        assert circ4.cs.check_satisfied(w_ints) is None
+        assert circ4.cs.check_satisfied(witness_ints(circ4, w, i)) is None
 
 
 def test_overweight_vote_violates_r1cs(circ4):
     ci = inp.mock_inputs(4, 3, seed=42, vote_weight=11)  # > availableWeight
     arrs = inputs_to_limbs(asdict(ci), 4)
     w = jax.jit(circ4.witness)(arrs)
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
-    assert circ4.cs.check_satisfied(w_ints) is not None
+    assert circ4.cs.check_satisfied(witness_ints(circ4, w)) is not None
 
 
 def test_wrong_nullifier_violates_r1cs(circ4):
@@ -66,8 +70,7 @@ def test_wrong_nullifier_violates_r1cs(circ4):
     d = asdict(ci)
     d["nullifier"] = str(int(d["nullifier"]) + 1)
     w = jax.jit(circ4.witness)(inputs_to_limbs(d, 4))
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
-    assert circ4.cs.check_satisfied(w_ints) is not None
+    assert circ4.cs.check_satisfied(witness_ints(circ4, w)) is not None
 
 
 def test_nonmember_violates_r1cs(circ4):
@@ -75,8 +78,7 @@ def test_nonmember_violates_r1cs(circ4):
     d = asdict(ci)
     d["censusRoot"] = str(int(d["censusRoot"]) ^ 1)
     w = jax.jit(circ4.witness)(inputs_to_limbs(d, 4))
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
-    assert circ4.cs.check_satisfied(w_ints) is not None
+    assert circ4.cs.check_satisfied(witness_ints(circ4, w)) is not None
 
 
 @pytest.mark.slow
@@ -88,9 +90,9 @@ def test_golden_inputs_satisfy_nlevels160_circuit():
     d = json.load(open(GOLDEN))
     arrs = inputs_to_limbs(d, 160)
     w = jax.jit(circ.witness)(arrs)
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
-    assert circ.cs.check_satisfied(w_ints) is None
-    pub = [str(x) for x in limbs.limbs_to_ints(circ.public_signals(w))]
+    assert circ.cs.check_satisfied(witness_ints(circ, w)) is None
+    pub = [str(x) for x in lm.lm_to_ints(
+        np.asarray(circ.public_signals(w)))]
     ref_signals = json.load(
         open(GOLDEN.replace("inputs_example", "signals")))
     assert pub == ref_signals

@@ -4,7 +4,9 @@ import json
 import jax
 import jax.numpy as jnp
 
-from zkfranchise_tpu.ops import limbs, poseidon
+import numpy as np
+
+from zkfranchise_tpu.ops import lm, poseidon
 from zkfranchise_tpu.ops.poseidon_constants import constants, poseidon_host
 
 GOLDEN = "/root/reference/artifacts/zkCensus/dev/160/inputs_example.json"
@@ -49,10 +51,11 @@ def test_golden_tree_roots():
 def test_jax_poseidon_matches_host():
     cases = {2: [5, 77], 3: [1, 2, 3], 4: [9, 8, 7, 6]}
     for k, vals in cases.items():
-        r = limbs.FR.r_mod_p
-        p = limbs.FR.p
-        inp = jnp.asarray(limbs.ints_to_limbs(
-            [v * r % p for v in vals]))[None]  # batch of 1, (1, k, 16)
+        r = lm.FR.r_mod_p
+        p = lm.FR.p
+        # (k, 21, 2): two identical lanes exercise the lane axis
+        col = np.asarray(lm.ints_to_lm([v * r % p for v in vals])).T
+        inp = jnp.asarray(np.repeat(col[:, :, None], 2, axis=-1))
         out = jax.jit(poseidon.poseidon_mont)(inp)
-        got = limbs.limbs_to_ints(limbs.from_mont(out))[0]
-        assert got == poseidon_host(vals), k
+        got = lm.lm_to_ints(np.asarray(lm.from_mont(out, lm.FR)))
+        assert got == [poseidon_host(vals)] * 2, k

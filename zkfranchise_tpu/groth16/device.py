@@ -5,7 +5,13 @@ A batch of voters' circuit inputs goes through four jitted stages:
   2. R1CS row evaluation + coset-NTT quotient (ops/sparse.py, ops/ntt.py),
   3. four MSMs (ops/msm_lm.py — limb-major Pallas Pippenger) with the
      r/s blinding folded into extended scalar/point tables,
-  4. proof assembly (two batched scalar-muls + point adds, limb-major).
+  4. proof assembly (two batched scalar-muls + point adds).
+
+Every stage shares ONE data layout (ops/lm.py): field-element vectors are
+``(N, 21, B)`` int32 planes — elements on the major axis, limbs on
+sublanes, the voter batch B on lanes — so witness wires, NTT domain
+points and MSM scalars flow between stages without repacking, and no
+stage ever materializes a trailing-dim-1 slice (the round-1 HBM blow-up).
 
 The B1/B2 tables are compacted: wires whose B-polynomial is zero
 contribute identity points, which the setup emits as None — dropping
@@ -18,15 +24,13 @@ runs on host.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.census import CensusCircuit
-from ..ops import ec_lm, ff, limbs, lm, msm_lm, ntt, sparse
-from ..ops.limbs import FR, N_LIMBS
+from ..ops import ec_lm, ff, lm, msm_lm, ntt, sparse
+from ..ops.lm import FR, N_LIMBS
 from ..ops.pallas import lm_kernels as K
 from . import qap
 from .setup import ProvingKey
@@ -35,13 +39,53 @@ from .verify import Proof
 P = ff.P_FR
 
 
-def _bits_of_old(scalar_old: jnp.ndarray, nbits: int = 254) -> jnp.ndarray:
-    """(B, 20) uint32 14-bit plain limbs -> (nbits, B) int32 bits."""
-    rows = []
-    for i in range(nbits):
-        limb = scalar_old[..., i // limbs.LIMB_BITS].astype(jnp.int32)
-        rows.append((limb >> (i % limbs.LIMB_BITS)) & 1)
-    return jnp.stack(rows, axis=0)
+# ---------------------------------------------------------------------------
+# stage functions — shared verbatim by DeviceProver and parallel.ShardedProver
+# ---------------------------------------------------------------------------
+
+def witness_stage(circuit: CensusCircuit, inputs: dict):
+    """-> (w Montgomery (num_vars, 21, B), w plain canonical)."""
+    w = circuit.witness(inputs)
+    return w, lm.from_mont(w, FR)
+
+
+def quotient_stage(arrays: dict, n: int, w: jnp.ndarray) -> jnp.ndarray:
+    """R1CS rows -> coset quotient evals, plain canonical (n, 21, B)."""
+    az = sparse.spmv(*arrays["a"], n, w)
+    bz = sparse.spmv(*arrays["b"], n, w)
+    cz = sparse.spmv(*arrays["c"], n, w)
+    a_cos = ntt.coset_evals_from_domain_evals(az)
+    b_cos = ntt.coset_evals_from_domain_evals(bz)
+    c_cos = ntt.coset_evals_from_domain_evals(cz)
+    # forward-NTT outputs carry value ~log2(n) * 2^257 (lazy butterfly
+    # growth); c must be VALUE-tightened below 2^257 before it can be a
+    # spread-subtrahend — one mul by R brings it to < p(1+eps)
+    c_tight = lm.mont_mul(c_cos, jnp.asarray(FR.one_mont), FR)
+    q = lm.sub_n(lm.mont_mul(a_cos, b_cos, FR), c_tight, FR)
+    return lm.from_mont(q, FR)
+
+
+def assemble_stage(pa, pb1, pb2, pc_partial, r_plain, s_plain,
+                   alpha, beta1, beta2):
+    """pa/pb1/pc: (B, 63, 1); pb2: (B, 126, 1); r/s: (21, B) plain;
+    alpha/beta1 (63, 1), beta2 (126, 1) point planes."""
+    to_lane = lambda x: jnp.swapaxes(x[..., 0], 0, 1)       # -> (rows, B)
+    pa, pb1, pc = to_lane(pa), to_lane(pb1), to_lane(pc_partial)
+    pb2 = to_lane(pb2)
+    pi_a = ec_lm.padd_g1(pa, jnp.broadcast_to(alpha, pa.shape))
+    pi_b1 = ec_lm.padd_g1(pb1, jnp.broadcast_to(beta1, pb1.shape))
+    pi_b = ec_lm.padd_g2(pb2, jnp.broadcast_to(beta2, pb2.shape))
+    s_bits = lm.bits_from_plain(s_plain, 254)               # (254, B)
+    r_bits = lm.bits_from_plain(r_plain, 254)
+    pi_c = ec_lm.padd_g1(pc, scalar_mul_plane(pi_a, s_bits, "g1"))
+    pi_c = ec_lm.padd_g1(pi_c, scalar_mul_plane(pi_b1, r_bits, "g1"))
+    return pi_a, pi_b, pi_c
+
+
+def neg_rs_scalar(r_plain: jnp.ndarray, s_plain: jnp.ndarray) -> jnp.ndarray:
+    """-r*s mod p, plain canonical (21, B)."""
+    rs = lm.mont_mul(lm.to_mont(r_plain, FR), s_plain, FR)
+    return lm.canon(lm.neg_n(rs, FR), FR)
 
 
 def scalar_mul_plane(p: jnp.ndarray, bits: jnp.ndarray,
@@ -99,67 +143,43 @@ class DeviceProver:
 
     # -- stage 1: witness ----------------------------------------------------
     def _witness_stage(self, inputs: dict):
-        w = self.circuit.witness(inputs)
-        return w, limbs.from_mont(w)
+        return witness_stage(self.circuit, inputs)
 
     # -- stage 2: az/bz/cz + quotient evals ---------------------------------
     def _quotient_stage(self, w: jnp.ndarray):
-        n = self.pk_meta[2]
-        az = sparse.spmv(*self.arrays["a"], n, w)
-        bz = sparse.spmv(*self.arrays["b"], n, w)
-        cz = sparse.spmv(*self.arrays["c"], n, w)
-        a_cos = ntt.coset_evals_from_domain_evals(az)
-        b_cos = ntt.coset_evals_from_domain_evals(bz)
-        c_cos = ntt.coset_evals_from_domain_evals(cz)
-        c_tight = limbs.mont_mul(c_cos, jnp.asarray(FR.one_mont))
-        q = limbs.sub(limbs.mont_mul(a_cos, b_cos), c_tight, FR)
-        return limbs.from_mont(q)
+        return quotient_stage(self.arrays, self.pk_meta[2], w)
 
     # -- stage 4: blinding combination (limb-major planes) -------------------
-    def _assemble_stage(self, pa, pb1, pb2, pc_partial, r_old, s_old):
-        """pa/pb1/pc: (B, 63, 1); pb2: (B, 126, 1); r/s: (B, 20) plain."""
-        to_lane = lambda x: jnp.swapaxes(x[..., 0], 0, 1)   # -> (rows, B)
-        pa, pb1, pc = to_lane(pa), to_lane(pb1), to_lane(pc_partial)
-        pb2 = to_lane(pb2)
-        pi_a = ec_lm.padd_g1(pa, jnp.broadcast_to(self.alpha, pa.shape))
-        pi_b1 = ec_lm.padd_g1(pb1, jnp.broadcast_to(self.beta1, pb1.shape))
-        pi_b = ec_lm.padd_g2(pb2, jnp.broadcast_to(self.beta2, pb2.shape))
-        s_bits = _bits_of_old(s_old)
-        r_bits = _bits_of_old(r_old)
-        pi_c = ec_lm.padd_g1(pc, scalar_mul_plane(pi_a, s_bits, "g1"))
-        pi_c = ec_lm.padd_g1(pi_c, scalar_mul_plane(pi_b1, r_bits, "g1"))
-        return pi_a, pi_b, pi_c
+    def _assemble_stage(self, pa, pb1, pb2, pc_partial, r_plain, s_plain):
+        return assemble_stage(pa, pb1, pb2, pc_partial, r_plain, s_plain,
+                              self.alpha, self.beta1, self.beta2)
 
     # -- full pipeline -------------------------------------------------------
     def prove_arrays(self, inputs: dict, r_plain: jnp.ndarray,
                      s_plain: jnp.ndarray):
-        """Batched prove; returns limb-major planes
-        (pi_a (63,B), pi_b (126,B), pi_c (63,B), publics)."""
+        """Batched prove; r/s: (21, B) plain canonical.  Returns limb-major
+        planes (pi_a (63,B), pi_b (126,B), pi_c (63,B), publics)."""
         w, w_plain = self._witness_jit(inputs)
         q_plain = self._quotient_jit(w)
         return self._msm_and_assemble(w_plain, q_plain, r_plain, s_plain)
 
     def _msm_and_assemble(self, w_plain, q_plain, r_plain, s_plain):
         npub = self.pk_meta[1]
-        r1 = r_plain[..., None, :]
-        s1 = s_plain[..., None, :]
-        wa = jnp.concatenate([w_plain, r1], axis=-2)
-        ws = jnp.concatenate([w_plain, s1], axis=-2)
-        ws_b = ws[..., jnp.asarray(self.b_nz), :]
+        wa = jnp.concatenate([w_plain, r_plain[None]], axis=0)
+        ws = jnp.concatenate([w_plain, s_plain[None]], axis=0)
+        ws_b = ws[jnp.asarray(self.b_nz)]
         pa = self._msm_jit(wa, self.a_tab, "g1")
         pb1 = self._msm_jit(ws_b, self.b1_tab, "g1")
         pb2 = self._msm_jit(ws_b, self.b2_tab, "g2")
 
-        rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
-        neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
+        neg_rs = neg_rs_scalar(r_plain, s_plain)
         c_scalars = jnp.concatenate(
-            [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
-            axis=-2)
+            [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
         pc = self._msm_jit(c_scalars, self.c_tab, "g1")
 
         pi_a, pi_b, pi_c = self._assemble_jit(pa, pb1, pb2, pc,
                                               r_plain, s_plain)
-        publics = w_plain[..., 1:1 + npub, :]
+        publics = w_plain[1:1 + npub]
         return pi_a, pi_b, pi_c, publics
 
     def fused_step(self, inputs: dict, r_plain, s_plain):
@@ -167,45 +187,42 @@ class DeviceProver:
         w, w_plain = self._witness_stage(inputs)
         q_plain = self._quotient_stage(w)
         npub = self.pk_meta[1]
-        wa = jnp.concatenate([w_plain, r_plain[..., None, :]], axis=-2)
-        ws = jnp.concatenate([w_plain, s_plain[..., None, :]], axis=-2)
-        ws_b = ws[..., jnp.asarray(self.b_nz), :]
+        wa = jnp.concatenate([w_plain, r_plain[None]], axis=0)
+        ws = jnp.concatenate([w_plain, s_plain[None]], axis=0)
+        ws_b = ws[jnp.asarray(self.b_nz)]
         pa = msm_lm.msm(wa, self.a_tab, "g1")
         pb1 = msm_lm.msm(ws_b, self.b1_tab, "g1")
         pb2 = msm_lm.msm(ws_b, self.b2_tab, "g2")
-        rs = limbs.mont_mul(limbs.to_mont(r_plain), s_plain)
-        neg_rs = limbs.canon(limbs.sub(jnp.zeros_like(rs), rs, FR), FR)
+        neg_rs = neg_rs_scalar(r_plain, s_plain)
         c_scalars = jnp.concatenate(
-            [w_plain[..., npub + 1:, :], q_plain, neg_rs[..., None, :]],
-            axis=-2)
+            [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
         pc = msm_lm.msm(c_scalars, self.c_tab, "g1")
         pi_a, pi_b, pi_c = self._assemble_stage(pa, pb1, pb2, pc,
                                                 r_plain, s_plain)
-        return pi_a, pi_b, pi_c, w_plain[..., 1:1 + npub, :]
+        return pi_a, pi_b, pi_c, w_plain[1:1 + npub]
 
     # -- host wrapper --------------------------------------------------------
     def prove_batch(self, inputs: dict, seed: int = 0):
         """Returns (proofs: list[Proof], public_signals: list[list[int]])."""
         rng = np.random.default_rng(seed)
-        rs_shape = tuple(np.asarray(inputs["address"]).shape[:-1])
-        count = int(np.prod(rs_shape)) if rs_shape else 1
+        count = int(np.asarray(inputs["address"]).shape[-1])
         r_int = [int.from_bytes(rng.bytes(31), "big") % P for _ in range(count)]
         s_int = [int.from_bytes(rng.bytes(31), "big") % P for _ in range(count)]
-        r_arr = jnp.asarray(limbs.ints_to_limbs(r_int)).reshape(
-            *rs_shape, N_LIMBS)
-        s_arr = jnp.asarray(limbs.ints_to_limbs(s_int)).reshape(
-            *rs_shape, N_LIMBS)
+        r_arr = jnp.asarray(lm.ints_to_lm(r_int))           # (21, B)
+        s_arr = jnp.asarray(lm.ints_to_lm(s_int))
         pa, pb, pc, publics = self.prove_arrays(inputs, r_arr, s_arr)
         return self.finalize(pa, pb, pc, publics)
 
     def finalize(self, pa, pb, pc, publics):
-        """pa/pc: (63, B); pb: (126, B) planes -> snarkjs-format proofs."""
+        """pa/pc: (63, B); pb: (126, B) planes; publics (8, 21, B) plain
+        -> snarkjs-format proofs."""
         a_aff = ec_lm.g1_plane_to_affine(pa)
         b_aff = ec_lm.g2_plane_to_affine(pb)
         c_aff = ec_lm.g1_plane_to_affine(pc)
-        pub_ints = limbs.limbs_to_ints(np.asarray(publics))
         npub = self.pk_meta[1]
-        pubs = [pub_ints[i:i + npub] for i in range(0, len(pub_ints), npub)]
+        B = publics.shape[-1]
+        flat = lm.lm_to_ints(np.asarray(publics))   # signal-major: i*B + j
+        pubs = [[flat[i * B + j] for i in range(npub)] for j in range(B)]
         proofs = []
         for a, b, c in zip(a_aff, b_aff, c_aff):
             proofs.append(Proof({

@@ -208,8 +208,10 @@ def mock_batch(n_levels: int, n_voters: int, *, seed: int = 0,
 
 
 def batch_to_arrays(batch: list[CircuitInputs], n_levels: int) -> dict:
-    """Stack a list of CircuitInputs into batched plain limb arrays for
-    models.census.CensusCircuit.witness."""
+    """Stack a list of CircuitInputs into batched plain limb-major arrays
+    for models.census.CensusCircuit.witness: the voter batch rides the
+    LAST (lane) axis — scalars (21, B), vectors (k, 21, B)."""
     from .models.census import inputs_to_limbs
     dicts = [inputs_to_limbs(asdict(ci), n_levels) for ci in batch]
-    return {k: np.stack([d[k] for d in dicts], axis=0) for k in dicts[0]}
+    return {k: np.concatenate([d[k] for d in dicts], axis=-1)
+            for k in dicts[0]}

@@ -42,9 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import ff, limbs
-from ..ops.limbs import FR, N_LIMBS
-from ..ops.poseidon import _mix, _sbox, _tables
+from ..ops import ff, lm
+from ..ops.lm import FR, N_LIMBS
+from ..ops.poseidon import _mix, _tables
 from ..ops.poseidon_constants import N_ROUNDS_F, N_ROUNDS_P, constants
 from . import r1cs
 from .r1cs import LC, lc, lc_add, lc_const, lc_scale, lc_sub
@@ -213,81 +213,66 @@ def build_census_cs(n_levels: int) -> r1cs.ConstraintSystem:
 
 
 # ---------------------------------------------------------------------------
-# eval-side gadgets (JAX, Montgomery limb form, batched)
+# eval-side gadgets (JAX, limb-major Montgomery planes, batched on lanes)
 # ---------------------------------------------------------------------------
-
-def bits_from_limbs(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Plain-form limb array (..., 16) -> (..., n) 0/1 uint32, LSB first."""
-    limb_idx = np.arange(n) // limbs.LIMB_BITS
-    shift = np.asarray(np.arange(n) % limbs.LIMB_BITS, dtype=np.uint32)
-    return (x[..., limb_idx] >> shift) & 1
-
+# Shapes follow ops/lm.py: a field element is (21, T) — limbs on sublanes,
+# the voter batch T on lanes; signal blocks stack elements on the LEADING
+# axis, matching the witness layout (num_vars, 21, T).
 
 def _bits_to_mont(bits: jnp.ndarray) -> jnp.ndarray:
-    """(..., n) 0/1 -> (..., n, 16) Montgomery field elements."""
-    one = jnp.asarray(FR.one_mont)
-    return jnp.where((bits == 1)[..., None], one, jnp.uint32(0))
+    """(n, ..., T) 0/1 -> (n, ..., 21, T) Montgomery field elements."""
+    one = jnp.asarray(FR.one_mont)          # (21, 1)
+    return jnp.where((bits == 1)[..., None, :], one, jnp.int32(0))
 
 
 def eval_poseidon_trace(inputs_mont: jnp.ndarray):
     """Poseidon with sbox-intermediate capture.
-    inputs_mont: (..., k, 16) -> (out (..., 16), trace (..., n_sbox*3, 16))
+    inputs_mont: (k, 21, T) -> (out (21, T), trace (n_sbox*3, 21, T));
     trace order matches build_poseidon allocation order."""
-    k = inputs_mont.shape[-2]
+    k = inputs_mont.shape[0]
     t = k + 1
     c_mont, m_mont = _tables(t)
     c_arr, m_arr = jnp.asarray(c_mont), jnp.asarray(m_mont)
     r_f, r_p = N_ROUNDS_F, N_ROUNDS_P[t - 2]
     half = r_f // 2
-    zero = jnp.zeros((*inputs_mont.shape[:-2], 1, N_LIMBS), dtype=jnp.uint32)
-    state = jnp.concatenate([zero, inputs_mont], axis=-2)
+    zero = jnp.zeros((1, N_LIMBS, inputs_mont.shape[-1]), dtype=jnp.int32)
+    state = jnp.concatenate([zero, inputs_mont], axis=0)
 
     def sbox_trace(x):
-        x2 = limbs.mont_mul(x, x, FR)
-        x4 = limbs.mont_mul(x2, x2, FR)
-        x5 = limbs.mont_mul(x4, x, FR)
-        # (..., lanes, 3, 16) -> flatten lanes*3
-        tr = jnp.stack([x2, x4, x5], axis=-2)
-        return x5, tr.reshape(*tr.shape[:-3], -1, N_LIMBS)
+        x2 = lm.mont_mul(x, x, FR)
+        x4 = lm.mont_mul(x2, x2, FR)
+        x5 = lm.mont_mul(x4, x, FR)
+        tr = jnp.stack([x2, x4, x5], axis=1)    # (j, 3, 21, T)
+        return x5, tr.reshape(-1, N_LIMBS, x.shape[-1])
 
     def full_round(st, c_r):
-        st = limbs.add(st, c_r, FR)
-        st, tr = sbox_trace(st)
+        st, tr = sbox_trace(lm.weak_norm(st + c_r))
         return _mix(st, m_arr), tr
 
     def partial_round(st, c_r):
-        st = limbs.add(st, c_r, FR)
-        s0, tr = sbox_trace(st[..., 0:1, :])
-        st = jnp.concatenate([s0, st[..., 1:, :]], axis=-2)
+        st = lm.weak_norm(st + c_r)
+        s0, tr = sbox_trace(st[0:1])
+        st = jnp.concatenate([s0, st[1:]], axis=0)
         return _mix(st, m_arr), tr
 
-    def scan_phase(fn, st, cs_slice):
-        # manual scan keeping batch dims trailing-safe: use lax.scan with
-        # the round axis leading on constants, batch handled by closure.
-        def body(carry, c_r):
-            new, tr = fn(carry, c_r)
-            return new, tr
-        return jax.lax.scan(body, st, cs_slice)
-
-    state, tr1 = scan_phase(full_round, state, c_arr[:half])
-    state, tr2 = scan_phase(partial_round, state, c_arr[half:half + r_p])
-    state, tr3 = scan_phase(full_round, state, c_arr[half + r_p:])
+    state, tr1 = jax.lax.scan(full_round, state, c_arr[:half])
+    state, tr2 = jax.lax.scan(partial_round, state, c_arr[half:half + r_p])
+    state, tr3 = jax.lax.scan(full_round, state, c_arr[half + r_p:])
 
     def _flat(tr):
-        # (rounds, ..., per_round, 16) -> (..., rounds*per_round, 16)
-        tr = jnp.moveaxis(tr, 0, -3)
-        return tr.reshape(*tr.shape[:-3], -1, N_LIMBS)
+        # (rounds, per_round, 21, T) -> (rounds*per_round, 21, T)
+        return tr.reshape(-1, N_LIMBS, tr.shape[-1])
 
-    trace = jnp.concatenate([_flat(tr1), _flat(tr2), _flat(tr3)], axis=-2)
-    return state[..., 0, :], trace
+    trace = jnp.concatenate([_flat(tr1), _flat(tr2), _flat(tr3)], axis=0)
+    return state[0], trace
 
 
 def eval_leq_const_trace(bits: jnp.ndarray, c_val: int, n: int) -> jnp.ndarray:
-    """(..., n) 0/1 bits -> (..., n_ones, 16) eq-chain signals in
-    MSB->LSB order over positions where c_val has a 1-bit."""
+    """(n, T) 0/1 bits -> (n_ones, 21, T) eq-chain signals in MSB->LSB
+    order over positions where c_val has a 1-bit."""
     ones_pos = [i for i in range(n - 1, -1, -1) if (c_val >> i) & 1]
-    sel = bits[..., np.asarray(ones_pos)]          # (..., n_ones) in MSB order
-    eqs = jnp.cumprod(sel, axis=-1)
+    sel = bits[np.asarray(ones_pos)]            # (n_ones, T), MSB order
+    eqs = jnp.cumprod(sel, axis=0)
     return _bits_to_mont(eqs)
 
 
@@ -295,57 +280,50 @@ def eval_smt_trace(key_bits: jnp.ndarray, key_mont: jnp.ndarray,
                    value_mont: jnp.ndarray, siblings_plain: jnp.ndarray,
                    siblings_mont: jnp.ndarray):
     """Witness block for build_smt_inclusion.
-    key_bits: (..., >=L) 0/1; key/value mont (..., 16);
-    siblings (..., L, 16).  Returns (..., block_len, 16)."""
-    L = siblings_plain.shape[-2]
-    one = jnp.asarray(FR.one_mont)
+    key_bits: (>=L, T) 0/1; key/value mont (21, T);
+    siblings (L, 21, T).  Returns (root (21, T), block (block_len, 21, T))."""
+    L = siblings_plain.shape[0]
+    T = key_mont.shape[-1]
+    one = jnp.broadcast_to(jnp.asarray(FR.one_mont), (N_LIMBS, T))
 
-    nz = jnp.any(siblings_plain != 0, axis=-1)          # (..., L)
+    nz = jnp.any(siblings_plain != 0, axis=-2)           # (L, T)
     # depth d = last nonzero index + 1  (0 if none)
-    idx = jnp.arange(1, L + 1, dtype=jnp.int32)
-    d = jnp.max(jnp.where(nz, idx, 0), axis=-1)          # (...,)
-    lev = (jnp.arange(L + 1, dtype=jnp.int32) == d[..., None]).astype(jnp.uint32)
-    after = jnp.cumsum(lev[..., :L], axis=-1)            # (..., L) 0/1
+    idx = jnp.arange(1, L + 1, dtype=jnp.int32)[:, None]
+    d = jnp.max(jnp.where(nz, idx, 0), axis=0)           # (T,)
+    lev = (jnp.arange(L + 1, dtype=jnp.int32)[:, None] == d[None, :]
+           ).astype(jnp.int32)                           # (L+1, T)
+    after = jnp.cumsum(lev[:L], axis=0)                  # (L, T) 0/1
     lev_mont = _bits_to_mont(lev)
     after_mont = _bits_to_mont(after)
 
     leaf, leaf_tr = eval_poseidon_trace(
-        jnp.stack([key_mont, value_mont,
-                   jnp.broadcast_to(one, key_mont.shape)], axis=-2))
+        jnp.stack([key_mont, value_mont, one], axis=0))
 
-    c_top = limbs.mont_mul(lev_mont[..., L, :], leaf, FR)
+    c_top = lm.mont_mul(lev_mont[L], leaf, FR)
 
     # scan levels i = L-1 .. 0
     def body(c_next, xs):
-        # c_next is an amp-2 lazy sum (m1 + m2); subs pass matching b_amp
+        # c_next arrives weak-normalized (value < 2p)
         s_m, b_m, lev_m, after_m = xs
-        m_sw = limbs.mont_mul(b_m, limbs.sub(s_m, c_next, FR, b_amp=2), FR)
-        left = limbs.weak_normalize(limbs.add(c_next, m_sw, FR), 1)
-        right = limbs.weak_normalize(
-            limbs.sub(limbs.add(s_m, c_next, FR), left, FR, b_amp=2), 1)
-        h, h_tr = eval_poseidon_trace(jnp.stack([left, right], axis=-2))
-        m1 = limbs.mont_mul(lev_m, leaf, FR)
-        m2 = limbs.mont_mul(limbs.sub(jnp.broadcast_to(one, after_m.shape),
-                                      after_m, FR), h, FR)
-        c_i = limbs.add(m1, m2, FR)
+        m_sw = lm.mont_mul(b_m, lm.sub_n(s_m, c_next, FR), FR)
+        left = lm.weak_norm(c_next + m_sw)
+        right = lm.sub_n(s_m + c_next, left, FR)
+        h, h_tr = eval_poseidon_trace(jnp.stack([left, right], axis=0))
+        m1 = lm.mont_mul(lev_m, leaf, FR)
+        m2 = lm.mont_mul(lm.sub_n(one, after_m, FR), h, FR)
+        c_i = lm.weak_norm(m1 + m2)
         block = jnp.concatenate(
-            [m_sw[..., None, :], h_tr, m1[..., None, :], m2[..., None, :]],
-            axis=-2)
+            [m_sw[None], h_tr, m1[None], m2[None]], axis=0)
         return c_i, block
 
-    bit_mont = _bits_to_mont(key_bits[..., :L])
-    # move level axis to front for scan, reversed (i descending)
-    def lead(x):
-        return jnp.moveaxis(x, -2, 0)[::-1]
-
-    xs = (lead(siblings_mont), lead(bit_mont), lead(lev_mont[..., :L, :]),
-          lead(after_mont))
+    bit_mont = _bits_to_mont(key_bits[:L])
+    xs = (siblings_mont[::-1], bit_mont[::-1], lev_mont[:L][::-1],
+          after_mont[::-1])
     root, blocks = jax.lax.scan(body, c_top, xs)
-    # blocks: (L, ..., per_level, 16) in i-descending order
-    blocks = jnp.moveaxis(blocks, 0, -3)
-    blocks = blocks.reshape(*blocks.shape[:-3], -1, N_LIMBS)
+    # blocks: (L, per_level, 21, T) in i-descending order
+    blocks = blocks.reshape(-1, N_LIMBS, T)
     full = jnp.concatenate(
-        [lev_mont, leaf_tr, c_top[..., None, :], blocks], axis=-2)
+        [lev_mont, leaf_tr, c_top[None], blocks], axis=0)
     return root, full
 
 
@@ -372,15 +350,14 @@ class CensusCircuit:
     def witness(self, inputs: dict) -> jnp.ndarray:
         """Batched witness generation.
 
-        inputs: dict of plain-form limb arrays —
-          'electionId'  (..., 2, 16), 'nullifier' (..., 16),
-          'availableWeight', 'voteHash' (..., 2, 16), 'sikRoot',
-          'censusRoot', 'address', 'password', 'signature', 'voteWeight',
-          'censusSiblings' (..., L, 16), 'sikSiblings' (..., L, 16).
-        Returns the witness (..., num_vars, 16) in Montgomery form.
+        inputs: dict of plain-form limb-major arrays (T voters on lanes) —
+          'electionId' (2, 21, T), 'nullifier' (21, T), 'availableWeight',
+          'voteHash' (2, 21, T), 'sikRoot', 'censusRoot', 'address',
+          'password', 'signature', 'voteWeight' (21, T),
+          'censusSiblings' (L, 21, T), 'sikSiblings' (L, 21, T).
+        Returns the witness (num_vars, 21, T) in Montgomery form.
         """
-        L = self.sibling_len
-        m = limbs.to_mont
+        m = lm.to_mont
         eid = m(inputs["electionId"])
         nullifier = m(inputs["nullifier"])
         aw_plain = inputs["availableWeight"]
@@ -399,39 +376,36 @@ class CensusCircuit:
         cens_sib = m(cens_sib_plain)
         sik_sib = m(sik_sib_plain)
 
-        batch = addr.shape[:-1]
-        one_mont = jnp.broadcast_to(jnp.asarray(FR.one_mont),
-                                    (*batch, N_LIMBS))
+        T = addr.shape[-1]
+        one_mont = jnp.broadcast_to(jnp.asarray(FR.one_mont), (N_LIMBS, T))
 
         parts = [
-            one_mont[..., None, :],
-            eid[..., 0, :][..., None, :], eid[..., 1, :][..., None, :],
-            nullifier[..., None, :],
-            votehash[..., 0, :][..., None, :],
-            votehash[..., 1, :][..., None, :],
-            sik_root[..., None, :], census_root[..., None, :],
-            vw[..., None, :], aw[..., None, :], addr[..., None, :],
-            pwd[..., None, :], sig[..., None, :],
+            one_mont[None],
+            eid[0:1], eid[1:2],
+            nullifier[None],
+            votehash[0:1], votehash[1:2],
+            sik_root[None], census_root[None],
+            vw[None], aw[None], addr[None],
+            pwd[None], sig[None],
             cens_sib, sik_sib,
         ]
 
-        # 1. weight bits: E = vw + 2^252 - 1 - aw  (plain CANONICAL
-        # arithmetic — the bit decomposition needs the [0,p) representative)
-        e_const = limbs.int_to_limbs((1 << 252) - 1)
-        e_val = limbs.add_canonical(
-            limbs.sub_canonical(vw_plain, aw_plain, FR),
-            jnp.broadcast_to(jnp.asarray(e_const), vw_plain.shape), FR)
-        wbits = bits_from_limbs(e_val, WEIGHT_BITS)
+        # 1. weight bits: E = vw + 2^252 - 1 - aw  (canonical plain form —
+        # the bit decomposition needs the EXACT [0,p) representative)
+        e_const = jnp.asarray(
+            lm.int_to_limbs((1 << 252) - 1)[:, None].astype(np.int32))
+        e_val = lm.canon(lm.sub_n(vw_plain + e_const, aw_plain, FR), FR)
+        wbits = lm.bits_from_plain(e_val, WEIGHT_BITS)       # (253, T)
         parts.append(_bits_to_mont(wbits))
 
         # 2. address bits + strict eq chain
-        abits = bits_from_limbs(addr_plain, KEY_BITS)
+        abits = lm.bits_from_plain(addr_plain, KEY_BITS)     # (254, T)
         parts.append(_bits_to_mont(abits))
         parts.append(eval_leq_const_trace(abits, P - 1, KEY_BITS))
 
         # 3. SIK poseidon
         sik_out, sik_tr = eval_poseidon_trace(
-            jnp.stack([addr, pwd, sig], axis=-2))
+            jnp.stack([addr, pwd, sig], axis=0))
         parts.append(sik_tr)
 
         # 4. SIK tree
@@ -446,29 +420,29 @@ class CensusCircuit:
 
         # 6. nullifier poseidon
         _, null_tr = eval_poseidon_trace(
-            jnp.stack([sig, pwd, eid[..., 0, :], eid[..., 1, :]], axis=-2))
+            jnp.stack([sig, pwd, eid[0], eid[1]], axis=0))
         parts.append(null_tr)
 
-        w = jnp.concatenate(parts, axis=-2)
-        assert w.shape[-2] == self.cs.num_vars, (
-            w.shape, self.cs.num_vars)
+        w = jnp.concatenate(parts, axis=0)
+        assert w.shape[0] == self.cs.num_vars, (w.shape, self.cs.num_vars)
         return w
 
     def public_signals(self, w: jnp.ndarray) -> jnp.ndarray:
-        """(..., 8, 16) plain form, reference signal order."""
-        return limbs.from_mont(w[..., 1:1 + N_PUBLIC, :])
+        """(8, 21, T) plain form, reference signal order."""
+        return lm.from_mont(w[1:1 + N_PUBLIC], FR)
 
 
 def inputs_to_limbs(inp: dict, n_levels: int) -> dict:
     """Decimal-string/int input dict (reference inputs_example.json schema,
-    /root/reference/internal/inputs.go:14-31) -> plain limb arrays."""
+    /root/reference/internal/inputs.go:14-31) -> plain limb-major arrays
+    for a single voter (T = 1): scalars (21, 1), vectors (k, 21, 1)."""
     L = n_levels + 1
 
     def one(x):
-        return limbs.int_to_limbs(int(x))
+        return lm.int_to_limbs(int(x))[:, None].astype(np.int32)
 
     def many(xs):
-        return limbs.ints_to_limbs([int(x) for x in xs])
+        return np.stack([one(x) for x in xs], axis=0)
 
     cs_ = [int(x) for x in inp["censusSiblings"]][:L]
     ss = [int(x) for x in inp["sikSiblings"]][:L]

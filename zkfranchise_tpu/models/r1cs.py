@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..ops import ff, limbs
+from ..ops import ff, lm
 
 P = ff.P_FR
 
@@ -114,7 +114,7 @@ class ConstraintSystem:
         extra_rows: additional (A, B, C) rows appended after the circuit
         constraints (the prover's public-input binding rows)."""
         out = {}
-        r2 = (limbs.FR.r_mod_p ** 2) % P
+        r2 = (lm.FR.r_mod_p ** 2) % P
         all_rows = list(self.constraints) + list(extra_rows)
         for name, sel in (("a", 0), ("b", 1), ("c", 2)):
             rows, cols, coeffs = [], [], []
@@ -126,8 +126,8 @@ class ConstraintSystem:
             out[name] = (
                 np.asarray(rows, dtype=np.int32),
                 np.asarray(cols, dtype=np.int32),
-                limbs.ints_to_limbs(coeffs) if coeffs
-                else np.zeros((0, limbs.N_LIMBS), np.uint32),
+                np.asarray(lm.ints_to_lm(coeffs),
+                           np.int32).T[:, :, None],   # (nnz, 21, 1)
             )
         out["num_constraints"] = len(all_rows)
         out["num_vars"] = self.num_vars

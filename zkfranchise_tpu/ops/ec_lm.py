@@ -72,27 +72,41 @@ def unpack_ec_consts(c):
 
 
 # ---------------------------------------------------------------------------
-# Fq / Fq2 helpers on plane slices
+# Fq / Fq2 helpers on STACKED plane slices
 # ---------------------------------------------------------------------------
+# The complete-addition formula needs 12 Fq (or 12 Fq2) products; they have
+# a 3-round dependence structure, so each point-add issues exactly THREE
+# batched mont_mul calls over a leading stack axis — an order of magnitude
+# fewer traced call sites than one call per product (the dominant factor in
+# both XLA compile time and while-loop dispatch overhead off-TPU), and
+# wider VPU ops inside Pallas kernels.
 
-def _fq2_mul(a, b, fs):
-    """a, b: (..., 42, T) stacked (re, im).  Schoolbook: 4 Fq muls."""
+def _mul_stack_fq(lhs, rhs, fs, b3):
+    """lhs/rhs: list of (..., 21, T) -> list of products (one mont call)."""
+    v = lm.mont_mul(jnp.stack(lhs, axis=-3), jnp.stack(rhs, axis=-3), fs)
+    return [v[..., i, :, :] for i in range(len(lhs))]
+
+
+def _mul_stack_fq2(lhs, rhs, fs, b3):
+    """lhs/rhs: list of (..., 42, T) Fq2 planes -> list of Fq2 products.
+    Schoolbook: each product is 4 Fq muls; all 4*S go in one call."""
+    S = len(lhs)
+    T = lhs[0].shape[-1]
+    a = jnp.stack(lhs, axis=-3)          # (..., S, 42, T)
+    b = jnp.stack(rhs, axis=-3)
     a0, a1 = a[..., :NL, :], a[..., NL:, :]
     b0, b1 = b[..., :NL, :], b[..., NL:, :]
-    # one batched mont_mul over 4 stacked lanes would need a lane concat;
-    # rows are cheap to stack instead (sublane concat)
-    lhs = jnp.concatenate([a0, a1, a0, a1], axis=-2).reshape(
-        *a.shape[:-2], 4, NL, a.shape[-1])
-    rhs = jnp.concatenate([b0, b1, b1, b0], axis=-2).reshape(
-        *b.shape[:-2], 4, NL, b.shape[-1])
-    v = lm.mont_mul(lhs, rhs, fs)
-    re = lm.sub_n(v[..., 0, :, :], v[..., 1, :, :], fs)
-    im = lm.add_n(v[..., 2, :, :], v[..., 3, :, :])
-    return jnp.concatenate([re, im], axis=-2)
+    big_l = jnp.stack([a0, a1, a0, a1], axis=-3)   # (..., S, 4, 21, T)
+    big_r = jnp.stack([b0, b1, b1, b0], axis=-3)
+    v = lm.mont_mul(big_l, big_r, fs)
+    re = _fq_sub_n(v[..., 0, :, :], v[..., 1, :, :], fs)   # (..., S, 21, T)
+    im = lm.weak_norm(v[..., 2, :, :] + v[..., 3, :, :])
+    out = jnp.concatenate([re, im], axis=-2)       # (..., S, 42, T)
+    return [out[..., i, :, :] for i in range(S)]
 
 
-def _fq2_add_n(a, b):
-    return lm.weak_norm(a + b)
+def _fq_sub_n(a, b, fs):
+    return lm.weak_norm(a + (jnp.asarray(fs.sub_d) - b))
 
 
 def _fq2_sub_n(a, b, fs):
@@ -105,26 +119,30 @@ def _fq2_sub_n(a, b, fs):
 # complete addition (RCB15 Algorithm 7, a = 0)
 # ---------------------------------------------------------------------------
 
-def _padd(x1, y1, z1, x2, y2, z2, fmul, fadd_n, fsub_n, b3, fs):
-    """RCB15 Algorithm 7 (a = 0).  fadd_n/fsub_n return NORMALIZED limbs
-    (every sum/difference here later feeds a multiply or a subtrahend)."""
-    t0 = fmul(x1, x2, fs)
-    t1 = fmul(y1, y2, fs)
-    t2 = fmul(z1, z2, fs)
-    t3 = fmul(fadd_n(x1, y1), fadd_n(x2, y2), fs)
-    t3 = fsub_n(t3, fadd_n(t0, t1), fs)             # X1Y2 + X2Y1
-    t4 = fmul(fadd_n(y1, z1), fadd_n(y2, z2), fs)
-    t4 = fsub_n(t4, fadd_n(t1, t2), fs)             # Y1Z2 + Y2Z1
-    x3 = fmul(fadd_n(x1, z1), fadd_n(x2, z2), fs)
-    y3 = fsub_n(x3, fadd_n(t0, t2), fs)             # X1Z2 + X2Z1
-    x3 = lm.weak_norm(t0 + t0 + t0)                 # 3*X1X2
-    t2b = fmul(b3, t2, fs)
-    z3 = fadd_n(t1, t2b)
+def _padd(x1, y1, z1, x2, y2, z2, mul_stack, fsub_n, b3, fs):
+    """RCB15 Algorithm 7 (a = 0) in three batched product rounds.  All
+    sums/differences are weak-normalized before entering a product or a
+    spread subtraction."""
+    wn = lm.weak_norm
+    # round 1: 6 independent products
+    lhs = [x1, y1, z1, wn(x1 + y1), wn(y1 + z1), wn(x1 + z1)]
+    rhs = [x2, y2, z2, wn(x2 + y2), wn(y2 + z2), wn(x2 + z2)]
+    t0, t1, t2, pa, pb, pc = mul_stack(lhs, rhs, fs, b3)
+    t3 = fsub_n(pa, wn(t0 + t1), fs)                # X1Y2 + X2Y1
+    t4 = fsub_n(pb, wn(t1 + t2), fs)                # Y1Z2 + Y2Z1
+    y3 = fsub_n(pc, wn(t0 + t2), fs)                # X1Z2 + X2Z1
+    x3 = wn(t0 + t0 + t0)                           # 3*X1X2
+    # round 2: the two b3 scalings
+    b3b = jnp.broadcast_to(b3, t2.shape)
+    t2b, y3b = mul_stack([t2, y3], [b3b, b3b], fs, b3)
+    z3 = wn(t1 + t2b)
     t1 = fsub_n(t1, t2b, fs)
-    y3b = fmul(b3, y3, fs)
-    x3o = fsub_n(fmul(t3, t1, fs), fmul(t4, y3b, fs), fs)
-    y3o = fadd_n(fmul(y3b, x3, fs), fmul(t1, z3, fs))
-    z3o = fadd_n(fmul(z3, t4, fs), fmul(x3, t3, fs))
+    # round 3: 6 products
+    q = mul_stack([t3, t4, y3b, t1, z3, x3],
+                  [t1, y3b, x3, z3, t4, t3], fs, b3)
+    x3o = fsub_n(q[0], q[1], fs)
+    y3o = wn(q[2] + q[3])
+    z3o = wn(q[4] + q[5])
     return x3o, y3o, z3o
 
 
@@ -140,8 +158,7 @@ def padd_g1(p, q, fs=lm.FQ, b3=None):
     x1, y1, z1 = _g1_coords(p)
     x2, y2, z2 = _g1_coords(q)
     x3, y3, z3 = _padd(x1, y1, z1, x2, y2, z2,
-                       lm.mont_mul, lm.add_n,
-                       lambda a, b, f: lm.sub_n(a, b, f), b3, fs)
+                       _mul_stack_fq, _fq_sub_n, b3, fs)
     return jnp.concatenate([x3, y3, z3], axis=-2)
 
 
@@ -159,8 +176,7 @@ def padd_g2(p, q, fs=lm.FQ, b3=None):
     x2, y2, z2 = _g2_coords(q)
     # _padd with Fq2 ops (weak_norm / add work rowwise on both halves)
     x3, y3, z3 = _padd(x1, y1, z1, x2, y2, z2,
-                       _fq2_mul, _fq2_add_n,
-                       lambda a, b, f: _fq2_sub_n(a, b, f), b3, fs)
+                       _mul_stack_fq2, _fq2_sub_n, b3, fs)
     return jnp.concatenate([x3, y3, z3], axis=-2)
 
 

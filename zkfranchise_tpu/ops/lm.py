@@ -215,6 +215,15 @@ def norm_exact(t: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # schoolbook products (raw int32 column accumulation, no splitting)
 # ---------------------------------------------------------------------------
+# Two bit-identical implementations:
+#   * UNROLLED (static slices + pads) — the only form Mosaic can lower, so
+#     Pallas kernel wrappers flip the module flag while tracing bodies;
+#   * ROLLED (fori_loop + dynamic_update_slice) — ~150x fewer traced ops,
+#     which cuts whole-witness XLA compile time ~8x; the loop-carried dep
+#     is invisible at NTT/witness widths where each iteration is wide.
+
+UNROLL = False
+
 
 def _bcast_lanes(x, batch, tlanes):
     """Broadcast to (*batch, 21, tlanes).  NOTE: inside Pallas kernels a
@@ -224,37 +233,71 @@ def _bcast_lanes(x, batch, tlanes):
     return jnp.broadcast_to(x, (*batch, N_LIMBS, tlanes))
 
 
-def wide_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a, b: (..., 21, T) normalized limbs -> (..., 43, T) column sums."""
+def _bcast_pair(a, b):
     batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
     tlanes = max(a.shape[-1], b.shape[-1])
-    a = _bcast_lanes(a, batch, tlanes)
-    b = _bcast_lanes(b, batch, tlanes)
-    cols = None
-    for i in range(N_LIMBS):
-        prod = a[..., i:i + 1, :] * b
-        pad = [(0, 0)] * prod.ndim
-        pad[-2] = (i, WIDE - i - N_LIMBS)
-        shifted = jnp.pad(prod, pad)
-        cols = shifted if cols is None else cols + shifted
-    return cols
+    return (_bcast_lanes(a, batch, tlanes), _bcast_lanes(b, batch, tlanes),
+            batch, tlanes)
+
+
+@jax.jit
+def _wide_mul_rolled(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pre-broadcast operands.  The jit wrapper caches the traced jaxpr per
+    shape, so hundreds of mont_mul call sites trace in O(1) each."""
+    cols0 = jnp.zeros((*a.shape[:-2], WIDE, a.shape[-1]), DTYPE)
+
+    def body(i, cols):
+        prod = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-2) * b
+        upd = jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros_like(cols), prod, i, axis=-2)
+        return cols + upd
+
+    return jax.lax.fori_loop(0, N_LIMBS, body, cols0)
+
+
+@jax.jit
+def _low_mul_rolled(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    cols0 = jnp.zeros((*a.shape[:-2], N_LIMBS, a.shape[-1]), DTYPE)
+
+    def body(i, cols):
+        prod = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-2) * b
+        upd = jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros((*a.shape[:-2], 2 * N_LIMBS, a.shape[-1]), DTYPE),
+            prod, i, axis=-2)[..., :N_LIMBS, :]
+        return cols + upd
+
+    return jax.lax.fori_loop(0, N_LIMBS, body, cols0)
+
+
+def wide_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a, b: (..., 21, T) normalized limbs -> (..., 43, T) column sums."""
+    a, b, batch, tlanes = _bcast_pair(a, b)
+    if UNROLL:
+        cols = None
+        for i in range(N_LIMBS):
+            prod = a[..., i:i + 1, :] * b
+            pad = [(0, 0)] * prod.ndim
+            pad[-2] = (i, WIDE - i - N_LIMBS)
+            shifted = jnp.pad(prod, pad)
+            cols = shifted if cols is None else cols + shifted
+        return cols
+    return _wide_mul_rolled(a, b)
 
 
 def low_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Low 21 columns of a*b (for m = t * n' mod R): triangular work."""
-    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
-    tlanes = max(a.shape[-1], b.shape[-1])
-    a = _bcast_lanes(a, batch, tlanes)
-    b = _bcast_lanes(b, batch, tlanes)
-    cols = None
-    for i in range(N_LIMBS):
-        hi = N_LIMBS - i
-        prod = a[..., i:i + 1, :] * b[..., :hi, :]
-        pad = [(0, 0)] * prod.ndim
-        pad[-2] = (i, 0)
-        shifted = jnp.pad(prod, pad)
-        cols = shifted if cols is None else cols + shifted
-    return cols
+    a, b, batch, tlanes = _bcast_pair(a, b)
+    if UNROLL:
+        cols = None
+        for i in range(N_LIMBS):
+            hi = N_LIMBS - i
+            prod = a[..., i:i + 1, :] * b[..., :hi, :]
+            pad = [(0, 0)] * prod.ndim
+            pad[-2] = (i, 0)
+            shifted = jnp.pad(prod, pad)
+            cols = shifted if cols is None else cols + shifted
+        return cols
+    return _low_mul_rolled(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +417,35 @@ def batch_inv_lanes(a: jnp.ndarray, fs: FieldSpec = FR) -> jnp.ndarray:
         right = mont_mul(invs, cur[..., :half], fs)  # inv of right half
         invs = jnp.concatenate([left, right], axis=-1)
     return invs
+
+
+# ---------------------------------------------------------------------------
+# bit / digit extraction (plain EXACT canonical limbs required)
+# ---------------------------------------------------------------------------
+
+def bits_from_plain(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """x: (..., 21, T) plain-form EXACT 13-bit limbs -> (n, ..., T) int32
+    0/1 bits, LSB first (the bit axis becomes the new leading axis)."""
+    rows = []
+    for i in range(n):
+        limb, s = divmod(i, LIMB_BITS)
+        rows.append((x[..., limb, :] >> s) & 1)
+    return jnp.stack(rows, axis=0)
+
+
+def window_digits(x: jnp.ndarray, wbits: int = 8,
+                  nwin: int = 32) -> jnp.ndarray:
+    """x: (N, 21, T) plain EXACT canonical limbs -> (nwin, N, T) int32
+    wbits-bit little-endian windows (Pippenger digit decomposition)."""
+    wins = []
+    for w in range(nwin):
+        off = w * wbits
+        i, s = divmod(off, LIMB_BITS)
+        d = x[..., i, :] >> s if i < N_LIMBS else jnp.zeros_like(x[..., 0, :])
+        if s + wbits > LIMB_BITS and i + 1 < N_LIMBS:
+            d = d | (x[..., i + 1, :] << (LIMB_BITS - s))
+        wins.append(d & ((1 << wbits) - 1))
+    return jnp.stack(wins, axis=0)
 
 
 # ---------------------------------------------------------------------------

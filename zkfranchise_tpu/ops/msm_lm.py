@@ -18,9 +18,9 @@ on v5e:
   * telescoped weighted-bucket identity (sum_b b*S_b = 255*total -
     sum_{b<255} prefix_b) — one 255-leaf tree instead of a bucket walk.
 
-Scalars arrive in the legacy lane-minor plain form (..., n, 20) uint32
-(the witness pipeline's output); points are (N, rows) int32 row tables
-from ec_lm.g1_table / g2_table.
+Scalars arrive in limb-major plain form (n, 21, B) int32 with EXACT
+canonical limbs (the witness pipeline's output); points are (n, rows)
+int32 row tables from ec_lm.g1_table / g2_table.
 """
 from __future__ import annotations
 
@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ec_lm, lm
-from . import msm as msm_old
 from .pallas import lm_kernels as K
 
 WBITS = 8
@@ -65,13 +64,14 @@ def _bitrev_traced(k: jnp.ndarray, bits: int) -> jnp.ndarray:
 
 def _neg_plane(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     nl = lm.N_LIMBS
+    d = jnp.asarray(lm.FQ.sub_d)
     if kind == "g1":
         y = x[..., nl:2 * nl, :]
-        neg_y = lm.neg_n(y, lm.FQ)
+        neg_y = lm.weak_norm(d - y)
         return jnp.concatenate([x[..., :nl, :], neg_y, x[..., 2 * nl:, :]],
                                axis=-2)
-    y = x[..., 2 * nl:4 * nl, :]
-    neg_y = lm.neg_n(y, lm.FQ)
+    y = x[..., 2 * nl:4 * nl, :]                 # stacked Fq2 (re, im)
+    neg_y = lm.weak_norm(jnp.concatenate([d, d], axis=-2) - y)
     return jnp.concatenate([x[..., :2 * nl, :], neg_y, x[..., 4 * nl:, :]],
                            axis=-2)
 
@@ -84,14 +84,12 @@ def _tree_reduce_lanes(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 
 
 def _double_k(x: jnp.ndarray, k: int, kind: str) -> jnp.ndarray:
-    for _ in range(k):
-        x = K.padd(x, x, kind)
-    return x
+    return jax.lax.fori_loop(0, k, lambda i, v: K.padd(v, v, kind), x)
 
 
 def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
         window_group: int | None = None) -> jnp.ndarray:
-    """scalars_plain: (B, n, 20) uint32 canonical lane-minor plain form;
+    """scalars_plain: (n, 21, B) int32 canonical limb-major plain form;
     table: (n, rows) int32 point rows (Montgomery projective).
     Returns (B, rows, 1) packed result planes.
 
@@ -101,13 +99,13 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     if window_group is None:
         window_group = 8 if K.on_tpu() else N_WINDOWS
     rows = table.shape[-1]
-    B, n = scalars_plain.shape[0], scalars_plain.shape[1]
+    n, B = scalars_plain.shape[0], scalars_plain.shape[-1]
     assert table.shape[0] == n
     m = _next_pow2(n)
     log_m = m.bit_length() - 1
 
-    digits = msm_old.window_digits(scalars_plain)       # (B, n, 32) uint32
-    digits = jnp.moveaxis(digits, -1, 0).astype(jnp.int32)  # (32, B, n)
+    digits = lm.window_digits(scalars_plain, WBITS, N_WINDOWS)  # (32, n, B)
+    digits = jnp.swapaxes(digits, -1, -2)                       # (32, B, n)
     if m != n:
         digits = jnp.concatenate(
             [digits, jnp.zeros((N_WINDOWS, B, m - n), jnp.int32)], axis=-1)
@@ -170,8 +168,7 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     fn = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2
 
     def horner(acc, wv):
-        for _ in range(WBITS):
-            acc = fn(acc, acc)
+        acc = jax.lax.fori_loop(0, WBITS, lambda i, v: fn(v, v), acc)
         return fn(acc, wv), None
 
     acc0 = jnp.asarray(K.identity_plane(kind, (B,), 1))

@@ -15,6 +15,7 @@ Key facts encoded here (learned on v5e):
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -33,6 +34,19 @@ _FORCE_XLA = os.environ.get("ZKF_FORCE_XLA", "0") == "1"
 
 def on_tpu() -> bool:
     return (not _FORCE_XLA) and jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def _unrolled():
+    """Kernel bodies must trace with the UNROLLED schoolbook muls — Mosaic
+    cannot lower the rolled fori_loop's dynamic sublane updates.  The flag
+    flip is safe because pallas_call traces the body synchronously."""
+    prev = lm.UNROLL
+    lm.UNROLL = True
+    try:
+        yield
+    finally:
+        lm.UNROLL = prev
 
 
 def _tile(T: int) -> int:
@@ -76,19 +90,20 @@ def padd(p: jnp.ndarray, q: jnp.ndarray, kind: str) -> jnp.ndarray:
     q = jnp.broadcast_to(q, shape).reshape(-1, rows, shape[-1])
     B, _, T = p.shape
     t = _tile(T)
-    out = pl.pallas_call(
-        functools.partial(_padd_kernel, kind),
-        out_shape=jax.ShapeDtypeStruct((B, rows, T), jnp.int32),
-        grid=(B, T // t),
-        in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-    )(_ec_consts(t), p, q)
+    with _unrolled():
+        out = pl.pallas_call(
+            functools.partial(_padd_kernel, kind),
+            out_shape=jax.ShapeDtypeStruct((B, rows, T), jnp.int32),
+            grid=(B, T // t),
+            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )(_ec_consts(t), p, q)
     return out.reshape(shape)
 
 
@@ -107,20 +122,21 @@ def fold_padd(x: jnp.ndarray, kind: str) -> jnp.ndarray:
         return fn(x[..., :h], x[..., h:])
     t = _tile(h)
     nj = h // t
-    out = pl.pallas_call(
-        functools.partial(_padd_kernel, kind),
-        out_shape=jax.ShapeDtypeStruct((B, rows, h), jnp.int32),
-        grid=(B, nj),
-        in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, rows, t),
-                               lambda b, j, _nj=nj: (b, 0, j + _nj),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-    )(_ec_consts(t), x, x)
+    with _unrolled():
+        out = pl.pallas_call(
+            functools.partial(_padd_kernel, kind),
+            out_shape=jax.ShapeDtypeStruct((B, rows, h), jnp.int32),
+            grid=(B, nj),
+            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, rows, t),
+                                   lambda b, j, _nj=nj: (b, 0, j + _nj),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )(_ec_consts(t), x, x)
     return out
 
 
@@ -143,19 +159,20 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
     b = jnp.broadcast_to(b, shape).reshape(-1, N_LIMBS, shape[-1])
     B, _, T = a.shape
     t = _tile(T)
-    out = pl.pallas_call(
-        _mont_mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, T), jnp.int32),
-        grid=(B, T // t),
-        in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda bb, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
-                               memory_space=pltpu.VMEM),
-    )(_ec_consts(t), a, b)
+    with _unrolled():
+        out = pl.pallas_call(
+            _mont_mul_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, T), jnp.int32),
+            grid=(B, T // t),
+            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda bb, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )(_ec_consts(t), a, b)
     return out.reshape(shape)
 
 
@@ -172,20 +189,22 @@ def fold_mul(x: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
         return lm.mont_mul(x[..., :h], x[..., h:], fs)
     t = _tile(h)
     nj = h // t
-    return pl.pallas_call(
-        _fold_mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, h), jnp.int32),
-        grid=(B, nj),
-        in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, N_LIMBS, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, N_LIMBS, t),
-                               lambda b, j, _nj=nj: (b, 0, j + _nj),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, N_LIMBS, t), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-    )(_ec_consts(t), x, x)
+    with _unrolled():
+        out = pl.pallas_call(
+            _fold_mul_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, h), jnp.int32),
+            grid=(B, nj),
+            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, N_LIMBS, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, N_LIMBS, t),
+                                   lambda b, j, _nj=nj: (b, 0, j + _nj),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, N_LIMBS, t), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )(_ec_consts(t), x, x)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -215,14 +234,16 @@ def inv(a: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
         return lm.inv(a, fs)
     T = a.shape[-1]
     bits = np.asarray(lm.FQ.p_minus_2_bits, np.int32)[None, :]
-    return pl.pallas_call(
-        functools.partial(_inv_kernel, bits.shape[-1]),
-        out_shape=jax.ShapeDtypeStruct((N_LIMBS, T), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(_ec_consts(max(T, 1)), jnp.asarray(bits), a)
+    with _unrolled():
+        out = pl.pallas_call(
+            functools.partial(_inv_kernel, bits.shape[-1]),
+            out_shape=jax.ShapeDtypeStruct((N_LIMBS, T), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(_ec_consts(max(T, 1)), jnp.asarray(bits), a)
+    return out
 
 
 def batch_inv(d: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:

@@ -1,14 +1,17 @@
 """Batched sparse matrix-vector products over Fr for R1CS evaluation.
 
-Computes az/bz/cz = <rows, witness> for the whole voter batch in one shot:
-a gather over static column indices, one Montgomery product per nonzero,
-a limb-wise segment sum (exact in uint32: row fan-in is < 2^8, limbs < 2^16,
-so sums stay < 2^24), and one wide Montgomery reduction per row.
+Element-major limb layout (ops/lm.py): the witness is ``(m, 21, T)`` with
+wires on the major axis and the voter batch T on lanes.  az/bz/cz for the
+whole batch are one row gather over static column indices, one Montgomery
+product per nonzero (full lane width), and a leading-axis segment-sum —
+exact in int32, since row fan-in is < 2^9 and normalized limbs < 2^13+2,
+so per-limb sums stay < 2^22.  Two weak-normalize rounds land the rows
+back at mul-safe limbs; no extra Montgomery reduction is needed.
 
 This replaces the per-proof coefficient loop inside go-rapidsnark's prover
 (SURVEY.md §3.3 "coefficient mult-add").  Coefficients arrive in R^2-form
-from models.r1cs.ConstraintSystem.export_arrays, making the row values come
-out of the single reduction already in Montgomery form.
+from models.r1cs.ConstraintSystem.export_arrays, so the single mont_mul
+per nonzero lands c*w in Montgomery form.
 """
 from __future__ import annotations
 
@@ -16,22 +19,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import limbs
-from .limbs import FR, N_LIMBS, WIDE
+from . import lm
+from .lm import FR
 
 
 def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_r2: np.ndarray,
          n_rows: int, w_mont: jnp.ndarray) -> jnp.ndarray:
-    """rows/cols: (nnz,) int32 static; coeffs_r2: (nnz, 16) uint32 static;
-    w_mont: (..., m, 16) Montgomery witness.  Returns (..., n_rows, 16)
+    """rows/cols: (nnz,) int32 static; coeffs_r2: (nnz, 21, 1) int32 static;
+    w_mont: (m, 21, T) Montgomery witness.  Returns (n_rows, 21, T)
     Montgomery row values (rows beyond the last index are zero)."""
-    gathered = w_mont[..., cols, :]                    # (..., nnz, 16)
-    prods = limbs.mont_mul(jnp.asarray(coeffs_r2), gathered)
-    # segment sum over nnz (leading-axis requirement -> move axis)
-    lead = jnp.moveaxis(prods, -2, 0)                  # (nnz, ..., 16)
-    seg = jax.ops.segment_sum(lead, jnp.asarray(rows), num_segments=n_rows)
-    seg = jnp.moveaxis(seg, 0, -2)                     # (..., n_rows, 16)
-    wide = jnp.concatenate(
-        [seg, jnp.zeros((*seg.shape[:-1], WIDE - N_LIMBS), jnp.uint32)],
-        axis=-1)
-    return limbs.mont_reduce_wide(wide, FR)
+    gathered = w_mont[jnp.asarray(cols)]               # (nnz, 21, T)
+    prods = lm.mont_mul(jnp.asarray(coeffs_r2), gathered, FR)
+    seg = jax.ops.segment_sum(prods, jnp.asarray(rows),
+                              num_segments=n_rows)     # (n_rows, 21, T)
+    return lm.weak_norm(seg, 2)

@@ -29,7 +29,7 @@ def write_manifest(env_dir: Path) -> Path:
     manifest = env_dir / "circuits-info.md"
     lines = []
     for nl_dir in sorted(p for p in env_dir.iterdir() if p.is_dir()):
-        lines.append(f"### {env_dir.parent.name} {nl_dir.name}\n")
+        lines.append(f"### {env_dir.name} {nl_dir.name}\n")
         for name in FILES:
             f = nl_dir / name
             if f.exists():
