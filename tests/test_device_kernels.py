@@ -1,98 +1,53 @@
-"""Device kernel tests: EC point ops, NTT, MSM, sparse matvec vs oracles."""
+"""Device kernel tests on the limb-major core: NTT and sparse matvec
+against the host polynomial oracle (groth16/poly.py)."""
 import random
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from zkfranchise_tpu.groth16 import poly
-from zkfranchise_tpu.ops import ec, ec_jax, ff, limbs
-from zkfranchise_tpu.ops import msm as dmsm
+from zkfranchise_tpu.ops import ff, lm
 from zkfranchise_tpu.ops import ntt as dntt
+from zkfranchise_tpu.ops.lm import FR
 
 RNG = random.Random(77)
 P = ff.P_FR
-R_MONT = limbs.FR.r_mod_p
 
 
-def rand_g1(n):
-    return [ec.g1_mul(RNG.randrange(1, ec.R_ORDER)) for _ in range(n)]
+def _vec_to_lm(vec, T=1):
+    """n ints -> (n, 21, T) plain planes (value replicated across lanes)."""
+    cols = lm.ints_to_lm(vec).T[:, :, None]          # (n, 21, 1)
+    return jnp.asarray(np.broadcast_to(cols, (len(vec), lm.N_LIMBS, T)))
 
 
-def test_g1_add_double_neg():
-    pts = rand_g1(5) + [None]
-    qts = rand_g1(5) + [None]
-    Pp = ec_jax.g1_from_affine_host(pts)
-    Qp = ec_jax.g1_from_affine_host(qts)
-    s = jax.jit(ec_jax.g1_add)(Pp, Qp)
-    assert ec_jax.g1_to_affine_host(s) == [ec.G1.add(a, b)
-                                           for a, b in zip(pts, qts)]
-    d = jax.jit(ec_jax.g1_double)(Pp)
-    assert ec_jax.g1_to_affine_host(d) == [ec.G1.double(p) for p in pts]
-    ng = jax.jit(ec_jax.g1_neg)(Pp)
-    assert ec_jax.g1_to_affine_host(ng) == [ec.G1.neg(p) for p in pts]
-
-
-def test_g2_add():
-    pts = [ec.g2_mul(RNG.randrange(1, ec.R_ORDER)) for _ in range(3)] + [None]
-    qts = [ec.g2_mul(RNG.randrange(1, ec.R_ORDER)) for _ in range(3)] + [None]
-    Pp = ec_jax.g2_from_affine_host(pts)
-    Qp = ec_jax.g2_from_affine_host(qts)
-    s = jax.jit(ec_jax.g2_add)(Pp, Qp)
-    assert ec_jax.g2_to_affine_host(s) == [ec.G2.add(a, b)
-                                           for a, b in zip(pts, qts)]
+def _lm_to_vec(a):
+    """(n, 21, 1) plain canonical -> n ints."""
+    return lm.lm_to_ints(np.asarray(a))
 
 
 def test_ntt_roundtrip_and_coset():
     n = 32
     vec = [RNG.randrange(P) for _ in range(n)]
-    vm = jnp.asarray(limbs.ints_to_limbs([v * R_MONT % P for v in vec]))
+    vm = lm.to_mont(_vec_to_lm(vec), FR)
     out = jax.jit(dntt.ntt)(vm)
-    assert limbs.limbs_to_ints(limbs.from_mont(out)) == poly.ntt(list(vec))
+    assert _lm_to_vec(lm.from_mont(out, FR)) == poly.ntt(list(vec))
     back = jax.jit(lambda x: dntt.ntt(x, inverse=True))(out)
-    assert limbs.limbs_to_ints(limbs.from_mont(back)) == vec
+    assert _lm_to_vec(lm.from_mont(back, FR)) == vec
     cos = jax.jit(dntt.coset_evals_from_domain_evals)(vm)
-    assert limbs.limbs_to_ints(limbs.from_mont(cos)) == \
+    assert _lm_to_vec(lm.from_mont(cos, FR)) == \
         poly.coset_evals_from_domain_evals(list(vec))
 
 
-def test_msm_g1():
-    npts = 20
-    pts = rand_g1(npts)
-    pts[3] = None
-    scalars = [RNG.randrange(P) for _ in range(npts)]
-    scalars[5] = 0
-    scalars[6] = 1
-    P1 = ec_jax.g1_from_affine_host(pts)
-    sc = jnp.asarray(limbs.ints_to_limbs(scalars))
-    res = jax.jit(dmsm.msm_g1)(sc, P1)
-    assert ec_jax.g1_to_affine_host(res)[0] == ec.msm_host(scalars, pts)
-    # batched
-    sc2 = jnp.stack([sc, sc], axis=0)
-    res2 = jax.jit(dmsm.msm_g1)(sc2, P1)
-    exp = ec.msm_host(scalars, pts)
-    assert ec_jax.g1_to_affine_host(res2) == [exp, exp]
-
-
-def test_msm_g2():
-    npts = 6
-    pts = [ec.g2_mul(RNG.randrange(1, ec.R_ORDER)) for _ in range(npts)]
-    scalars = [RNG.randrange(P) for _ in range(npts)]
-    P2 = ec_jax.g2_from_affine_host(pts)
-    sc = jnp.asarray(limbs.ints_to_limbs(scalars))
-    res = jax.jit(dmsm.msm_g2)(sc, P2)
-    assert ec_jax.g2_to_affine_host(res)[0] == \
-        ec.msm_host(scalars, pts, ec.G2)
-
-
-def test_scalar_mul():
-    pt = rand_g1(1)[0]
-    k = RNG.randrange(P)
-    km = jnp.asarray(limbs.int_to_limbs(k))[None]
-    res = jax.jit(ec_jax.g1_scalar_mul)(
-        ec_jax.g1_from_affine_host([pt]), km)
-    assert ec_jax.g1_to_affine_host(res)[0] == ec.G1.mul(k, pt)
+def test_ntt_batched_lanes():
+    """T=4 independent transforms ride the lane axis."""
+    n, T = 16, 4
+    cols = [[RNG.randrange(P) for _ in range(T)] for _ in range(n)]
+    x = jnp.asarray(np.stack([lm.ints_to_lm(row) for row in cols]))
+    out = np.asarray(lm.from_mont(jax.jit(dntt.ntt)(lm.to_mont(x, FR)), FR))
+    for t in range(T):
+        got = lm.lm_to_ints(out[:, :, t:t + 1])
+        assert got == poly.ntt([row[t] for row in cols])
 
 
 def test_sparse_spmv():
@@ -107,11 +62,10 @@ def test_sparse_spmv():
     cs.enforce(r1cs.lc((1, 200)), r1cs.lc_const(1), {})
     arrs = cs.export_arrays()
     w_int = [1, RNG.randrange(P), RNG.randrange(P), RNG.randrange(P)]
-    w_mont = jnp.asarray(limbs.ints_to_limbs(
-        [x * R_MONT % P for x in w_int]))
+    w_mont = lm.to_mont(_vec_to_lm(w_int), FR)
     rows, cols, coeffs = arrs["a"]
     out = jax.jit(lambda w: sparse.spmv(rows, cols, coeffs, 4, w))(w_mont)
-    got = limbs.limbs_to_ints(limbs.from_mont(out))
+    got = _lm_to_vec(lm.from_mont(out, FR))
     exp = [(2 * w_int[1] + 3 * w_int[2]) % P, (w_int[3] + 5) % P,
            200 * w_int[1] % P, 0]
     assert got == exp

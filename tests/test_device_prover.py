@@ -13,7 +13,7 @@ from zkfranchise_tpu.groth16 import setup as gsetup
 from zkfranchise_tpu.groth16 import verify as gverify
 from zkfranchise_tpu.groth16.device import DeviceProver
 from zkfranchise_tpu.models.census import CensusCircuit
-from zkfranchise_tpu.ops import limbs
+from zkfranchise_tpu.ops import lm
 
 NL = 4
 ART = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / \
@@ -72,8 +72,8 @@ def test_sharded_prover_matches(circuit, keys, voter_batch):
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(n_data=2, n_model=4)
     sp = ShardedProver(circuit, pk, mesh)
-    r = jnp.asarray(limbs.ints_to_limbs([5, 6]))
-    s = jnp.asarray(limbs.ints_to_limbs([7, 8]))
+    r = jnp.asarray(lm.ints_to_lm([5, 6]))
+    s = jnp.asarray(lm.ints_to_lm([7, 8]))
     pa, pb, pc, publics = sp.prove_batch_arrays(voter_batch, r, s)
     dp = DeviceProver(circuit, pk)
     proofs, pubs = dp.finalize(pa, pb, pc, publics)

@@ -2,6 +2,7 @@
 import json
 from dataclasses import asdict
 
+import numpy as np
 import pytest
 
 from zkfranchise_tpu.ops import ec, pairing
@@ -55,7 +56,7 @@ def test_host_e2e_prove_verify(tmp_path):
     from zkfranchise_tpu.groth16 import prove as gprove, setup as gsetup
     from zkfranchise_tpu.groth16.verify import verify
     from zkfranchise_tpu.models.census import CensusCircuit, inputs_to_limbs
-    from zkfranchise_tpu.ops import limbs
+    from zkfranchise_tpu.ops import lm
     import pathlib
 
     circ = CensusCircuit(4)
@@ -73,7 +74,7 @@ def test_host_e2e_prove_verify(tmp_path):
 
     ci = inp.mock_inputs(4, 3, seed=42)
     w = jax.jit(circ.witness)(inputs_to_limbs(asdict(ci), 4))
-    w_ints = limbs.limbs_to_ints(limbs.from_mont(w))
+    w_ints = lm.lm_to_ints(np.asarray(lm.from_mont(w, lm.FR)))
     proof = gprove.prove_host(pk, circ.cs.constraints, w_ints,
                               r=123, s=456)
     pub = w_ints[1:1 + circ.cs.num_public]

@@ -1,11 +1,16 @@
-"""Golden tests for the limb-major MSM (ops/msm_lm.py) vs the host oracle."""
+"""Golden tests for the limb-major MSM (ops/msm_lm.py) vs the host oracle.
+
+Scalars enter in the production layout: (n, 21, B) int32 limb-major plain
+canonical planes (points on the major axis, limbs on sublanes, the proof
+batch B on lanes) — the same shape the witness pipeline emits.
+"""
 import functools
 
 import jax
 import numpy as np
 import jax.numpy as jnp
 
-from zkfranchise_tpu.ops import ec, ec_lm, ff, limbs, msm_lm
+from zkfranchise_tpu.ops import ec, ec_lm, ff, lm, msm_lm
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -21,6 +26,13 @@ def _scalars(b, n, small=False):
              for _ in range(n)] for _ in range(b)]
 
 
+def _to_lm(scal):
+    """scal[b][i] -> (n, 21, B) limb-major plain planes."""
+    b, n = len(scal), len(scal[0])
+    return jnp.asarray(np.stack(
+        [lm.ints_to_lm([scal[j][i] for j in range(b)]) for i in range(n)]))
+
+
 def _run(b, n, kind, scal=None, pts=None):
     scal = scal if scal is not None else _scalars(b, n)
     if pts is None:
@@ -30,13 +42,12 @@ def _run(b, n, kind, scal=None, pts=None):
             pts = [ec.g2_mul(j + 3) for j in range(n)]
     table = jnp.asarray(
         (ec_lm.g1_table if kind == "g1" else ec_lm.g2_table)(pts))
-    sc = jnp.asarray(np.stack(
-        [limbs.ints_to_limbs(row) for row in scal]))          # (b, n, 20)
-    out = _msm_jit(sc, table, kind)
+    out = _msm_jit(_to_lm(scal), table, kind)       # (B, rows, 1)
+    plane = jnp.swapaxes(out[..., 0], 0, 1)         # (rows, B)
     if kind == "g1":
-        got = ec_lm.g1_plane_to_affine(out)
+        got = ec_lm.g1_plane_to_affine(plane)
     else:
-        got = ec_lm.g2_plane_to_affine(out)
+        got = ec_lm.g2_plane_to_affine(plane)
     grp = ec.G1 if kind == "g1" else ec.G2
     want = [ec.msm_host(row, pts, grp) for row in scal]
     assert got == want

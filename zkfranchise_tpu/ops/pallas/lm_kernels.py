@@ -57,8 +57,14 @@ def _tile(T: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
+def _ec_consts_np(tile: int) -> np.ndarray:
+    return ec_lm.pack_ec_consts(tile)
+
+
 def _ec_consts(tile: int):
-    return jnp.asarray(ec_lm.pack_ec_consts(tile))
+    # cache ONLY the numpy array: converting inside a trace yields a
+    # tracer, and an lru-cached tracer escapes its trace (bench r02 bug)
+    return jnp.asarray(_ec_consts_np(tile))
 
 
 _PADD = {"g1": (ec_lm.padd_g1, ec_lm.G1_ROWS),
@@ -118,7 +124,11 @@ def fold_padd(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     fn, rows = _PADD[kind]
     B, _, m = x.shape
     h = m // 2
-    if not on_tpu():
+    # Mosaic requires lane-dim blocks divisible by 128 or equal to the full
+    # array dim; the fold's half-width block (h) against a 2h array can
+    # satisfy neither once h < 128 — the tail of every sum tree.  The work
+    # there is tiny, so hand it to plain XLA.
+    if h < 128 or not on_tpu():
         return fn(x[..., :h], x[..., h:])
     t = _tile(h)
     nj = h // t
@@ -185,7 +195,7 @@ def fold_mul(x: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
     """x: (B, 21, m) -> (B, 21, m//2): elementwise product of halves."""
     B, _, m = x.shape
     h = m // 2
-    if not on_tpu() or fs is not lm.FQ:
+    if h < 128 or not on_tpu() or fs is not lm.FQ:  # see fold_padd
         return lm.mont_mul(x[..., :h], x[..., h:], fs)
     t = _tile(h)
     nj = h // t
