@@ -1,6 +1,6 @@
-"""Microbenchmark: mont_mul throughput — old XLA 20x14 core vs the new
-limb-major 21x13 core (ops/lm.py) under plain XLA and inside a Pallas
-kernel.  Run on the real TPU chip."""
+"""Microbenchmark: mont_mul throughput for the limb-major 21x13 core
+(ops/lm.py) under plain XLA and inside a Pallas kernel.  Run on the real
+TPU chip."""
 import functools
 import os
 import pathlib
@@ -17,14 +17,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zkfranchise_tpu.ops import ff, limbs, lm
+from zkfranchise_tpu.ops import ff, lm
 
 P = ff.P_FQ
 NL = lm.N_LIMBS
 
 
 def chain_kernel(n_iters, c_ref, a_ref, b_ref, o_ref):
-    fs = lm.unpack_consts(c_ref[:, :])  # (84, tile) wide constants
+    fs = lm.unpack_consts(c_ref[:, :])  # (105, tile) wide constants
     x = a_ref[:, :]
     b = b_ref[:, :]
     for _ in range(n_iters):
@@ -39,7 +39,7 @@ def pallas_chain(a, b, iters, tile):
         functools.partial(chain_kernel, iters),
         out_shape=jax.ShapeDtypeStruct((NL, T), jnp.int32),
         grid=(T // tile,),
-        in_specs=[pl.BlockSpec((4 * NL, tile), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((lm.N_CONST_ROWS * NL, tile), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((NL, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -55,14 +55,6 @@ def xla_lm_chain(a, b, iters):
     x = a
     for _ in range(iters):
         x = lm.mont_mul(x, b, lm.FQ)
-    return x
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def xla_old_chain(a, b, iters):
-    x = a
-    for _ in range(iters):
-        x = limbs.mont_mul(x, b, limbs.FQ)
     return x
 
 
@@ -101,10 +93,6 @@ def main():
         bench(f"pallas lm tile={tile}", pallas_chain, aj, bj, ITERS, tile,
               work=work)
     bench("xla lm", xla_lm_chain, aj, bj, ITERS, work=work)
-
-    a14 = jnp.asarray(limbs.ints_to_limbs(xs * (T // 256)))
-    b14 = jnp.asarray(limbs.ints_to_limbs(ys * (T // 256)))
-    bench("xla old 20x14", xla_old_chain, a14, b14, ITERS, work=work)
 
 
 if __name__ == "__main__":

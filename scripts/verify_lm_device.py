@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from zkfranchise_tpu.ops import ec, ec_lm, ff, lm
+from zkfranchise_tpu.ops.pallas.lm_kernels import _unrolled
 
 print("devices:", jax.devices(), file=sys.stderr)
 
@@ -57,17 +58,17 @@ def scalar_mul_kernel(nbits, rows, padd, c_ref, bits_ref, p_ref, acc_ref):
 def device_scalar_mul(consts, bits, pts, rows, kind):
     padd = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2
     T = pts.shape[-1]
-    ident = (ec_lm.g1_identity_plane((), T) if kind == "g1"
-             else ec_lm.g2_identity_plane((), T))
-    del ident
-    return pl.pallas_call(
-        functools.partial(scalar_mul_kernel, bits.shape[-1], rows, padd),
-        out_shape=jax.ShapeDtypeStruct((rows, T), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(consts, bits, pts)
+    # kernel bodies must trace with the UNROLLED schoolbook muls — Mosaic
+    # cannot lower the rolled fori_loop's dynamic sublane updates
+    with _unrolled():
+        return pl.pallas_call(
+            functools.partial(scalar_mul_kernel, bits.shape[-1], rows, padd),
+            out_shape=jax.ShapeDtypeStruct((rows, T), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(consts, bits, pts)
 
 
 def run(kind):

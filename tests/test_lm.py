@@ -3,7 +3,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from zkfranchise_tpu.ops import ff, lm, limbs
+from zkfranchise_tpu.ops import ff, lm
 
 RNG = np.random.default_rng(42)
 P = ff.P_FQ
@@ -67,15 +67,6 @@ def test_inv_and_batch_inv():
     bv = lm.batch_inv_lanes(a, lm.FQ)
     gotb = lm.lm_to_ints(np.asarray(lm.from_mont(bv, lm.FQ)))
     assert gotb == got
-
-
-def test_repack_roundtrip():
-    xs = rand_ints(64, ff.P_FR)
-    old = jnp.asarray(limbs.ints_to_limbs(xs))          # (64, 20) uint32
-    new = lm.repack_from14(old)                          # (21, 64)
-    assert lm.lm_to_ints(np.asarray(new)) == xs
-    back = lm.repack_to14(new)                           # (64, 20)
-    assert limbs.limbs_to_ints(np.asarray(back)) == xs
 
 
 def test_pow_bits_fr():

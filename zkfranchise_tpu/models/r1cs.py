@@ -103,18 +103,18 @@ class ConstraintSystem:
 
     # -- export -------------------------------------------------------------
     def export_arrays(self, extra_rows=()):
-        """Returns dict with, for each of a/b/c: (rows, cols, coeffs_r2)
+        """Returns dict with, for each of a/b/c: (rows, cols, coeffs_mont)
         numpy arrays over the nonzero entries, plus shape metadata.
 
-        Coefficients are exported in R^2-form (c * R^2 mod p): the device
-        sparse matvec computes mont_mul(c_r2, w_mont) = c*w*R^2 mod p per
-        entry, segment-sums limbs (sums stay < 2^24 per limb), and a single
-        Montgomery wide-reduction lands the row value in Montgomery form.
+        Coefficients are exported in Montgomery R-form (c * R mod p): the
+        device sparse matvec computes mont_mul(cR, wR) = c*w*R mod p per
+        entry — already Montgomery form — then segment-sums limbs (sums
+        stay < 2^24 per limb) and weak-normalizes; no extra reduction.
 
         extra_rows: additional (A, B, C) rows appended after the circuit
         constraints (the prover's public-input binding rows)."""
         out = {}
-        r2 = (lm.FR.r_mod_p ** 2) % P
+        r1 = lm.FR.r_mod_p % P
         all_rows = list(self.constraints) + list(extra_rows)
         for name, sel in (("a", 0), ("b", 1), ("c", 2)):
             rows, cols, coeffs = [], [], []
@@ -122,7 +122,7 @@ class ConstraintSystem:
                 for idx, cf in con[sel].items():
                     rows.append(r)
                     cols.append(idx)
-                    coeffs.append(cf * r2 % P)
+                    coeffs.append(cf * r1 % P)
             out[name] = (
                 np.asarray(rows, dtype=np.int32),
                 np.asarray(cols, dtype=np.int32),

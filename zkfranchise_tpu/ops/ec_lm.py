@@ -54,20 +54,25 @@ def b3_g2() -> np.ndarray:
     return np.concatenate([_mont_col(b3[0]), _mont_col(b3[1])], axis=0)
 
 
+EC_CONST_ROWS = lm.N_CONST_ROWS + 3          # 5 field rows + b3g1 + b3g2
+
+
 def pack_ec_consts(tile: int = 1) -> np.ndarray:
-    """(7*21, tile) int32 constants block for kernels: 4 FQ field rows
+    """(8*21, tile) int32 constants block for kernels: 5 FQ field rows
     + b3_g1 + b3_g2 (re, im), all materialized at lane width `tile`
     (in-kernel slices of lane-broadcasts don't lower on Mosaic)."""
     col = np.concatenate(
-        [lm.pack_consts(lm.FQ), b3_g1(), b3_g2()], axis=0)   # (147, 1)
-    return np.broadcast_to(col, (7 * NL, tile)).copy().astype(np.int32)
+        [lm.pack_consts(lm.FQ), b3_g1(), b3_g2()], axis=0)   # (168, 1)
+    return np.broadcast_to(col, (EC_CONST_ROWS * NL, tile)).copy().astype(
+        np.int32)
 
 
 def unpack_ec_consts(c):
     """-> (KernelField, b3g1 (21, T), b3g2 (42, T))."""
-    fs = lm.unpack_consts(c[..., :4 * NL, :])
-    b31 = c[..., 4 * NL:5 * NL, :]
-    b32 = c[..., 5 * NL:7 * NL, :]
+    f = lm.N_CONST_ROWS
+    fs = lm.unpack_consts(c[..., :f * NL, :])
+    b31 = c[..., f * NL:(f + 1) * NL, :]
+    b32 = c[..., (f + 1) * NL:(f + 3) * NL, :]
     return fs, b31, b32
 
 
@@ -89,7 +94,15 @@ def _mul_stack_fq(lhs, rhs, fs, b3):
 
 def _mul_stack_fq2(lhs, rhs, fs, b3):
     """lhs/rhs: list of (..., 42, T) Fq2 planes -> list of Fq2 products.
-    Schoolbook: each product is 4 Fq muls; all 4*S go in one call."""
+    Schoolbook: each product is 4 Fq muls; all 4*S go in one call.
+
+    The re = a0b0 - a1b1 subtraction uses the TIGHT spread constant
+    sub_d1 (value < 2^256): the subtrahend is a single Montgomery output
+    (< 2^255), and the smaller constant keeps both product components
+    < 2^256 — so sums/subtrahends built from Fq2 products downstream stay
+    inside sub_d's 2^257 domination budget.  (Using sub_d here pushed re
+    to ~2^257.1, overflowing that budget and yielding negative limbs that
+    silently break mont_reduce's carry trick — the round-3 G2 MSM bug.)"""
     S = len(lhs)
     T = lhs[0].shape[-1]
     a = jnp.stack(lhs, axis=-3)          # (..., S, 42, T)
@@ -99,7 +112,8 @@ def _mul_stack_fq2(lhs, rhs, fs, b3):
     big_l = jnp.stack([a0, a1, a0, a1], axis=-3)   # (..., S, 4, 21, T)
     big_r = jnp.stack([b0, b1, b1, b0], axis=-3)
     v = lm.mont_mul(big_l, big_r, fs)
-    re = _fq_sub_n(v[..., 0, :, :], v[..., 1, :, :], fs)   # (..., S, 21, T)
+    re = lm.weak_norm(v[..., 0, :, :] +
+                      (jnp.asarray(fs.sub_d1) - v[..., 1, :, :]))
     im = lm.weak_norm(v[..., 2, :, :] + v[..., 3, :, :])
     out = jnp.concatenate([re, im], axis=-2)       # (..., S, 42, T)
     return [out[..., i, :, :] for i in range(S)]

@@ -104,6 +104,11 @@ class FieldSpec(NamedTuple):
     p_limbs: np.ndarray          # (21, 1) canonical
     nprime_limbs: np.ndarray     # (21, 1): -p^-1 mod 2^273
     sub_d: np.ndarray            # (21, 1) spread multiple of p (b < 2^257)
+    sub_d1: np.ndarray           # (21, 1) TIGHT spread multiple (b < 2^255):
+                                 # value < 2^256, for subtrahends that are
+                                 # single Montgomery outputs — keeps Fq2
+                                 # product components < 2^256 so they fit
+                                 # the 2^257 sub_d budget downstream
     r_mod_p: int
     r2_limbs: np.ndarray         # (21, 1): R^2 mod p
     one_mont: np.ndarray         # (21, 1): R mod p
@@ -124,6 +129,7 @@ def make_field(p: int) -> FieldSpec:
         p_limbs=col(p),
         nprime_limbs=col(nprime),
         sub_d=_spread_sub_const(p, 257)[:, None],
+        sub_d1=_spread_sub_const(p, 255)[:, None],
         r_mod_p=r % p,
         r2_limbs=col(r * r % p),
         one_mont=col(r % p),
@@ -138,22 +144,26 @@ FQ = make_field(ff.P_FQ)
 
 class KernelField(NamedTuple):
     """Traced-array view of the FieldSpec constants a Pallas kernel needs
-    (kernels cannot capture array constants; they arrive as one (21, 4)
+    (kernels cannot capture array constants; they arrive as one (21, 5)
     input and are re-sliced inside the kernel)."""
     p_limbs: jnp.ndarray
     nprime_limbs: jnp.ndarray
     sub_d: jnp.ndarray
     one_mont: jnp.ndarray
+    sub_d1: jnp.ndarray
+
+
+N_CONST_ROWS = 5
 
 
 def pack_consts(fs: FieldSpec, tile: int = 1) -> np.ndarray:
-    """(4*21, tile) int32 constant block to feed a kernel.  Constants are
+    """(5*21, tile) int32 constant block to feed a kernel.  Constants are
     materialized at full lane width so in-kernel per-limb slices are real
     loads, not broadcasts."""
     c = np.concatenate(
-        [fs.p_limbs, fs.nprime_limbs, fs.sub_d, fs.one_mont],
-        axis=0).astype(np.int32)                       # (84, 1)
-    return np.broadcast_to(c, (4 * N_LIMBS, tile)).copy()
+        [fs.p_limbs, fs.nprime_limbs, fs.sub_d, fs.one_mont, fs.sub_d1],
+        axis=0).astype(np.int32)                       # (105, 1)
+    return np.broadcast_to(c, (N_CONST_ROWS * N_LIMBS, tile)).copy()
 
 
 def unpack_consts(c: jnp.ndarray) -> KernelField:
@@ -161,7 +171,8 @@ def unpack_consts(c: jnp.ndarray) -> KernelField:
     return KernelField(p_limbs=c[..., 0 * n:1 * n, :],
                        nprime_limbs=c[..., 1 * n:2 * n, :],
                        sub_d=c[..., 2 * n:3 * n, :],
-                       one_mont=c[..., 3 * n:4 * n, :])
+                       one_mont=c[..., 3 * n:4 * n, :],
+                       sub_d1=c[..., 4 * n:5 * n, :])
 
 
 # ---------------------------------------------------------------------------
@@ -446,45 +457,3 @@ def window_digits(x: jnp.ndarray, wbits: int = 8,
             d = d | (x[..., i + 1, :] << (LIMB_BITS - s))
         wins.append(d & ((1 << wbits) - 1))
     return jnp.stack(wins, axis=0)
-
-
-# ---------------------------------------------------------------------------
-# representation bridges (old 20x14 lane-minor <-> new 21x13 limb-major)
-# ---------------------------------------------------------------------------
-
-OLD_BITS = 14
-OLD_N = 20
-
-def repack_from14(a: jnp.ndarray) -> jnp.ndarray:
-    """(..., n, 20) uint32 CANONICAL-limb 14-bit values (< 2^260)
-    -> (..., 21, n) int32 13-bit limb-major (same integer value)."""
-    a = jnp.moveaxis(a.astype(DTYPE), -1, -2)      # (..., 20, n)
-    rows = []
-    for j in range(N_LIMBS):
-        lo_bit = LIMB_BITS * j
-        i, s = divmod(lo_bit, OLD_BITS)
-        if i >= OLD_N:
-            rows.append(jnp.zeros_like(a[..., 0, :]))
-            continue
-        v = a[..., i, :] >> s
-        if s + LIMB_BITS > OLD_BITS and i + 1 < OLD_N:
-            v = v | (a[..., i + 1, :] << (OLD_BITS - s))
-        rows.append(v & MASK)
-    return jnp.stack(rows, axis=-2)
-
-
-def repack_to14(a: jnp.ndarray) -> jnp.ndarray:
-    """(..., 21, n) int32 canonical 13-bit limbs -> (..., n, 20) uint32
-    14-bit limbs (values < 2^260 assumed < 2^280 trivially)."""
-    rows = []
-    old_mask = (1 << OLD_BITS) - 1
-    for j in range(OLD_N):
-        lo_bit = OLD_BITS * j
-        i, s = divmod(lo_bit, LIMB_BITS)
-        v = a[..., i, :] >> s if i < N_LIMBS else jnp.zeros_like(a[..., 0, :])
-        if i + 1 < N_LIMBS:
-            v = v | (a[..., i + 1, :] << (LIMB_BITS - s))
-        if s + OLD_BITS > 2 * LIMB_BITS and i + 2 < N_LIMBS:
-            v = v | (a[..., i + 2, :] << (2 * LIMB_BITS - s))
-        rows.append(v & old_mask)
-    return jnp.stack(rows, axis=-1).astype(jnp.uint32)   # (..., n, 20)

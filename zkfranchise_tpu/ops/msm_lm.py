@@ -94,10 +94,15 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     Returns (B, rows, 1) packed result planes.
 
     window_group bounds peak memory (the (G*B, m, rows) point gather):
-    8 on TPU; a single 32-window group elsewhere (CPU tests/dry-runs are
-    tiny, and one group keeps the traced program 4x smaller)."""
+    sized so G*B <= 128 on TPU (~3 GB peak at m=32k including the
+    retained upsweep levels); a single 32-window group elsewhere (CPU
+    tests/dry-runs are tiny, and one group keeps the traced program 4x
+    smaller)."""
     if window_group is None:
-        window_group = 8 if K.on_tpu() else N_WINDOWS
+        if K.on_tpu():
+            window_group = max(1, min(8, 128 // scalars_plain.shape[-1]))
+        else:
+            window_group = N_WINDOWS
     rows = table.shape[-1]
     n, B = scalars_plain.shape[0], scalars_plain.shape[-1]
     assert table.shape[0] == n

@@ -101,7 +101,7 @@ def padd(p: jnp.ndarray, q: jnp.ndarray, kind: str) -> jnp.ndarray:
             functools.partial(_padd_kernel, kind),
             out_shape=jax.ShapeDtypeStruct((B, rows, T), jnp.int32),
             grid=(B, T // t),
-            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+            in_specs=[pl.BlockSpec((ec_lm.EC_CONST_ROWS * N_LIMBS, t), lambda b, j: (0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
                                    memory_space=pltpu.VMEM),
@@ -137,7 +137,7 @@ def fold_padd(x: jnp.ndarray, kind: str) -> jnp.ndarray:
             functools.partial(_padd_kernel, kind),
             out_shape=jax.ShapeDtypeStruct((B, rows, h), jnp.int32),
             grid=(B, nj),
-            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+            in_specs=[pl.BlockSpec((ec_lm.EC_CONST_ROWS * N_LIMBS, t), lambda b, j: (0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, rows, t), lambda b, j: (b, 0, j),
                                    memory_space=pltpu.VMEM),
@@ -174,7 +174,7 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
             _mont_mul_kernel,
             out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, T), jnp.int32),
             grid=(B, T // t),
-            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda bb, j: (0, 0),
+            in_specs=[pl.BlockSpec((ec_lm.EC_CONST_ROWS * N_LIMBS, t), lambda bb, j: (0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
                                    memory_space=pltpu.VMEM),
@@ -204,7 +204,7 @@ def fold_mul(x: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
             _fold_mul_kernel,
             out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, h), jnp.int32),
             grid=(B, nj),
-            in_specs=[pl.BlockSpec((7 * N_LIMBS, t), lambda b, j: (0, 0),
+            in_specs=[pl.BlockSpec((ec_lm.EC_CONST_ROWS * N_LIMBS, t), lambda b, j: (0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, N_LIMBS, t), lambda b, j: (b, 0, j),
                                    memory_space=pltpu.VMEM),

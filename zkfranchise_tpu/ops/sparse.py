@@ -9,9 +9,10 @@ so per-limb sums stay < 2^22.  Two weak-normalize rounds land the rows
 back at mul-safe limbs; no extra Montgomery reduction is needed.
 
 This replaces the per-proof coefficient loop inside go-rapidsnark's prover
-(SURVEY.md §3.3 "coefficient mult-add").  Coefficients arrive in R^2-form
-from models.r1cs.ConstraintSystem.export_arrays, so the single mont_mul
-per nonzero lands c*w in Montgomery form.
+(SURVEY.md §3.3 "coefficient mult-add").  Coefficients arrive in R-form
+(c*R mod p) from models.r1cs.ConstraintSystem.export_arrays, so the single
+mont_mul per nonzero — mont_mul(cR, wR) = c*w*R — lands c*w directly in
+Montgomery form.
 """
 from __future__ import annotations
 
@@ -23,13 +24,14 @@ from . import lm
 from .lm import FR
 
 
-def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_r2: np.ndarray,
+def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_mont: np.ndarray,
          n_rows: int, w_mont: jnp.ndarray) -> jnp.ndarray:
-    """rows/cols: (nnz,) int32 static; coeffs_r2: (nnz, 21, 1) int32 static;
-    w_mont: (m, 21, T) Montgomery witness.  Returns (n_rows, 21, T)
-    Montgomery row values (rows beyond the last index are zero)."""
+    """rows/cols: (nnz,) int32 static; coeffs_mont: (nnz, 21, 1) int32
+    static R-form coefficients; w_mont: (m, 21, T) Montgomery witness.
+    Returns (n_rows, 21, T) Montgomery row values (rows beyond the last
+    index are zero)."""
     gathered = w_mont[jnp.asarray(cols)]               # (nnz, 21, T)
-    prods = lm.mont_mul(jnp.asarray(coeffs_r2), gathered, FR)
+    prods = lm.mont_mul(jnp.asarray(coeffs_mont), gathered, FR)
     seg = jax.ops.segment_sum(prods, jnp.asarray(rows),
                               num_segments=n_rows)     # (n_rows, 21, T)
     return lm.weak_norm(seg, 2)
