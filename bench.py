@@ -20,7 +20,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
 sys.path.insert(0, str(ROOT))
 
 N_LEVELS = int(os.environ.get("BENCH_NLEVELS", "16"))
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# voters ride the 128-wide lane axis of every plane: batch=128 runs the
+# witness/NTT/assemble stages at full lane utilization (batch=16 idles 7/8)
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 BASELINE_PER_CHIP = 1000.0 / 16.0
 
@@ -83,6 +85,13 @@ def main():
     ok = gverify.verify(vk, proofs[0], pubs[0])
     print(f"# sample proof verifies: {ok}", file=sys.stderr)
 
+    # per-stage breakdown (1 iter each, after warm-up) — written to
+    # bench_stages.json next to this file for the roofline analysis
+    stages = stage_breakdown(prover, arrs)
+    print(f"# stages: {json.dumps(stages)}", file=sys.stderr)
+    with open(ROOT / "bench_stages.json", "w") as f:
+        json.dump({"nlevels": N_LEVELS, "batch": BATCH, **stages}, f, indent=1)
+
     t0 = time.time()
     for i in range(ITERS):
         pa, pb, pc, publics = prover.prove_arrays(
@@ -98,8 +107,51 @@ def main():
         "unit": "proofs/s",
         "vs_baseline": round(proofs_per_sec / BASELINE_PER_CHIP, 4),
         "verified": bool(ok),
+        "msm_mpoints_per_s": stages.get("msm_mpoints_per_s"),
     }
     print(json.dumps(result))
+
+
+def stage_breakdown(prover, arrs):
+    """Times each jitted stage; returns seconds per stage + MSM Mpoints/s
+    (points x proof-lanes per second across the 4 MSMs)."""
+    import jax
+    import jax.numpy as jnp
+    from zkfranchise_tpu.groth16.device import neg_rs_scalar
+
+    r_arr, s_arr = prover_rs(prover, seed=3)
+    out = {}
+
+    def timeit(name, fn, *args):
+        res = fn(*args)
+        jax.block_until_ready(res)
+        t0 = time.time()
+        res = fn(*args)
+        jax.block_until_ready(res)
+        out[name] = round(time.time() - t0, 4)
+        return res
+
+    w, w_plain = timeit("witness_s", prover._witness_jit, arrs)
+    q_plain = timeit("quotient_s", prover._quotient_jit, w)
+    npub = prover.pk_meta[1]
+    wa = jnp.concatenate([w_plain, r_arr[None]], axis=0)
+    ws = jnp.concatenate([w_plain, s_arr[None]], axis=0)
+    ws_b = ws[jnp.asarray(prover.b_nz)]
+    pa = timeit("msm_a_s", prover._msm_jit, wa, prover.a_tab, "g1")
+    pb1 = timeit("msm_b1_s", prover._msm_jit, ws_b, prover.b1_tab, "g1")
+    pb = timeit("msm_b2_s", prover._msm_jit, ws_b, prover.b2_tab, "g2")
+    neg_rs = neg_rs_scalar(r_arr, s_arr)
+    c_scalars = jnp.concatenate(
+        [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
+    pc = timeit("msm_c_s", prover._msm_jit, c_scalars, prover.c_tab, "g1")
+    timeit("assemble_s", prover._assemble_jit, pa, pb1, pb, pc, r_arr, s_arr)
+
+    msm_pts = (prover.a_tab.shape[0] + 2 * prover.b1_tab.shape[0]
+               + prover.c_tab.shape[0]) * BATCH
+    msm_t = out["msm_a_s"] + out["msm_b1_s"] + out["msm_b2_s"] + \
+        out["msm_c_s"]
+    out["msm_mpoints_per_s"] = round(msm_pts / msm_t / 1e6, 3) if msm_t else 0
+    return out
 
 
 def prover_rs(prover, seed):

@@ -68,6 +68,42 @@ def test_duplicate_key_rejected():
         tree.add(b"\x01" * 20, 2)
 
 
+def test_batch_smt_parity():
+    """Device-hashed batch builder (utils/smt_batch.py) is bit-equal to
+    the host tree: same root, same sibling vectors, proofs verify."""
+    from zkfranchise_tpu.utils import smt_batch
+
+    rng = random.Random(11)
+    keys = [bytes(rng.randrange(256) for _ in range(20)) for _ in range(300)]
+    host = smt.SMT(max_levels=160)
+    for i, k in enumerate(keys):
+        host.add(k, 10 + i)
+    batch = smt_batch.build_from_bytes(
+        [(k, 10 + i) for i, k in enumerate(keys)], max_levels=160)
+    assert batch.root == host.root
+    for i, k in enumerate(rng.sample(keys, 25)):
+        ki = arbo.bytes_to_bigint(k)
+        v_b, sibs_b = batch.gen_proof(ki)
+        v_h, sibs_h = host.gen_proof(k)
+        assert (v_b, sibs_b) == (v_h, sibs_h)
+    with pytest.raises(KeyError):
+        batch.gen_proof(arbo.bytes_to_bigint(b"\x01" * 20))
+
+
+def test_batch_smt_large():
+    """2^12-leaf build: tier-batched device hashing; sampled proofs verify
+    against the root (the at-scale path of SURVEY §2b's batched SMT)."""
+    from zkfranchise_tpu.utils import smt_batch
+
+    rng = random.Random(13)
+    n = 1 << 12
+    entries = [(rng.randrange(1 << 160), i + 1) for i in range(n)]
+    tree = smt_batch.BatchSMT(entries, max_levels=160)
+    for k, v in rng.sample(entries, 8):
+        sibs = tree.padded_siblings(k, 160)
+        assert smt.verify_proof(tree.root, k, v, sibs)
+
+
 def test_bytes_to_arbo_golden():
     # electionId encoding: sha256 halves, little-endian
     eid = bytes.fromhex(

@@ -44,6 +44,63 @@ def test_proof_artifacts(tmp_path):
     assert json.load(open(tmp_path / "signals.json")) == ["1", "2", "3"]
 
 
+class _StubProver:
+    """Duck-typed stand-in for DeviceProver: ProofStream only touches
+    .circuit.n_levels and .prove_batch.  Counts calls so the resume test
+    can assert no batch is re-proved."""
+
+    class _C:
+        n_levels = 16
+
+    circuit = _C()
+
+    def __init__(self, fail_after_batches=None):
+        self.calls = 0
+        self.fail_after = fail_after_batches
+
+    def prove_batch(self, arrs, seed=0):
+        if self.fail_after is not None and self.calls >= self.fail_after:
+            raise RuntimeError("injected crash")
+        self.calls += 1
+        B = arrs["address"].shape[-1]
+        proofs = [type("P", (), {"to_dict": lambda self: {"pi_a": []}})()
+                  for _ in range(B)]
+        pubs = [[seed, i] for i in range(B)]
+        return proofs, pubs
+
+
+def test_stream_checkpoint_resume(tmp_path):
+    """Kill the stream mid-run; a fresh ProofStream must resume from the
+    cursor without duplicating or losing proofs (SURVEY.md §5 checkpoint
+    row)."""
+    from zkfranchise_tpu import inputs as inp
+    from zkfranchise_tpu.stream import ProofStream
+
+    voters = inp.mock_batch(16, 7, seed=5)
+    out = tmp_path / "proofs"
+
+    # first run crashes after 2 batches (batch_size=2 -> 4 proofs done)
+    p1 = _StubProver(fail_after_batches=2)
+    s1 = ProofStream(p1, out, batch_size=2)
+    with pytest.raises(RuntimeError):
+        s1.run(voters)
+    assert s1.cursor == 4 and p1.calls == 2
+
+    # resume with a new process-equivalent: picks up at the cursor
+    p2 = _StubProver()
+    s2 = ProofStream(p2, out, batch_size=2)
+    produced = s2.run(voters)
+    assert produced == 3                       # voters 4..6 only
+    assert p2.calls == 2                       # batches [4:6], [6:7(padded)]
+    assert s2.cursor == 7
+    done = sorted(d.name for d in out.iterdir() if d.is_dir())
+    assert done == [f"proof_{i:08d}" for i in range(7)]  # no dup/loss
+    # a third run is a no-op
+    p3 = _StubProver()
+    assert ProofStream(p3, out, batch_size=2).run(voters) == 0
+    assert p3.calls == 0
+
+
 def test_metrics_jsonl():
     buf = io.StringIO()
     m = Metrics(sink=buf)

@@ -32,7 +32,7 @@ import numpy as np
 
 from .ops import ff
 from .ops.poseidon_constants import poseidon_host
-from .utils import arbo, eth, smt
+from .utils import arbo, eth, smt, smt_batch
 
 DEFAULT_ELECTION_ID = bytes.fromhex(
     "7faeab7a7d250527d614e952ae8e446825bd1124c6def410844c7c383d1519a6"
@@ -176,11 +176,13 @@ def mock_batch(n_levels: int, n_voters: int, *, seed: int = 0,
                election_id: bytes = DEFAULT_ELECTION_ID) -> list[CircuitInputs]:
     """Batch pipeline: ONE census + ONE SIK tree shared by n_voters voters
     (the production shape: thousands of voters proving against the same
-    election roots), per-voter proofs extracted from the shared trees."""
+    election roots).  Trees are built with the batched device-hashed
+    builder (utils/smt_batch.py — one Poseidon kernel call per tree tier
+    instead of one host hash per node); SIK hashes for the whole batch go
+    through the same vectorized kernel.  Per-voter proofs are extracted
+    from the shared trees."""
     rng = random.Random(seed)
     voters = []
-    census = smt.SMT(max_levels=n_levels)
-    sik_tree = smt.SMT(max_levels=n_levels)
     pwd_b = DEFAULT_PASSWORD
     pwd = ff.big_to_ff(int.from_bytes(pwd_b, "big"))
     for _ in range(n_voters):
@@ -189,19 +191,25 @@ def mock_batch(n_levels: int, n_voters: int, *, seed: int = 0,
         sig = ff.big_to_ff(int.from_bytes(sig64, "big"))
         addr_b = acct.address
         addr = arbo.bytes_to_bigint(addr_b)
-        census.add(addr_b, available_weight)
-        sik_tree.add(addr_b, account_sik(addr, pwd, sig))
-        voters.append((acct, sig64, addr_b))
+        voters.append((acct, sig64, sig, addr_b, addr))
+    siks = smt_batch.hash_batch(
+        [[addr, pwd, sig] for _, _, sig, _, addr in voters])
+    census = smt_batch.BatchSMT(
+        [(addr, available_weight) for *_, addr in voters],
+        max_levels=n_levels)
+    sik_tree = smt_batch.BatchSMT(
+        [(addr, sik) for (*_, addr), sik in zip(voters, siks)],
+        max_levels=n_levels)
     out = []
-    for acct, sig64, addr_b in voters:
+    for acct, sig64, sig, addr_b, addr in voters:
         out.append(generate_circuit_inputs(
             address_bytes=addr_b, password=pwd_b, signature64=sig64,
             available_weight=available_weight, vote_weight=vote_weight,
             election_id=election_id,
             census_root=census.root,
-            census_siblings=census.padded_siblings(addr_b, n_levels),
+            census_siblings=census.padded_siblings(addr, n_levels),
             sik_root=sik_tree.root,
-            sik_siblings=sik_tree.padded_siblings(addr_b, n_levels),
+            sik_siblings=sik_tree.padded_siblings(addr, n_levels),
             n_levels=n_levels,
         ))
     return out

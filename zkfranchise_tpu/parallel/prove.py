@@ -4,6 +4,11 @@ Parallel decomposition (SURVEY.md §2c):
   * voter batch sharded over 'data' — the batch rides the LANE axis of
     every limb plane (ops/lm.py layout), so witness generation, R1CS rows,
     NTT and the quotient evaluations are embarrassingly lane-parallel;
+  * R1CS rows + the coset NTT DOMAIN sharded over 'model' — each chip
+    evaluates its row range of az/bz/cz (statically partitioned nonzeros)
+    and the three coset transforms run as distributed four-step NTTs with
+    all_to_all stage exchanges (ops/ntt_dist.py) — n/nm of the butterfly
+    work per chip instead of round-3's full replicated transform;
   * MSM point tables sharded over 'model' (major axis) — each chip
     accumulates buckets for its slice of the proving key; partial points
     are combined with an all_gather over ICI followed by a log-depth
@@ -28,8 +33,39 @@ from ..models.census import CensusCircuit
 from ..groth16 import qap
 from ..groth16.device import (assemble_stage, neg_rs_scalar, quotient_stage,
                               witness_stage)
-from ..ops import ec_lm, lm, msm_lm
+from ..ops import ec_lm, lm, msm_lm, ntt_dist
+from ..ops.lm import FR, N_LIMBS
 from ..ops.pallas import lm_kernels as K
+
+
+def _shard_rows(arr, n: int, nm: int):
+    """Partition one R1CS nonzero list by row range for nm chips.
+    arr: (rows, cols, coeffs (nnz, 21, 1)); returns (R, C, F) with
+    leading nm axis, nnz padded to the max shard (pad entries have
+    coeff 0 -> contribute nothing), rows RELATIVE to the chip base."""
+    rows, cols, coeffs = arr
+    b = n // nm
+    per = [[] for _ in range(nm)]
+    for k in range(len(rows)):
+        per[int(rows[k]) // b].append(k)
+    nnz = max((len(p) for p in per), default=1) or 1
+    R = np.zeros((nm, nnz), np.int32)
+    C = np.zeros((nm, nnz), np.int32)
+    F = np.zeros((nm, nnz, N_LIMBS, 1), np.int32)
+    for i, idxs in enumerate(per):
+        for j, k in enumerate(idxs):
+            R[i, j] = int(rows[k]) - i * b
+            C[i, j] = int(cols[k])
+            F[i, j] = coeffs[k]
+    return R, C, F
+
+
+def _spmv_local(R, C, F, b: int, w: jnp.ndarray) -> jnp.ndarray:
+    """This chip's rows of the R1CS matvec: (b, 21, T) Montgomery."""
+    gathered = w[C]                                  # (nnz, 21, T)
+    prods = lm.mont_mul(F, gathered, FR)
+    seg = jax.ops.segment_sum(prods, R, num_segments=b)
+    return lm.weak_norm(seg, 2)
 
 
 def _pad_table(tab: np.ndarray, mult: int, kind: str) -> np.ndarray:
@@ -93,6 +129,17 @@ class ShardedProver:
             extra_rows=qap.binding_rows(cs.num_public))
         self.pk_meta = (pk.n_vars, pk.n_public, pk.domain)
 
+        # domain sharding for the quotient stage (four-step NTT needs
+        # nm^2 | n; nm=1 falls back to the replicated local transform)
+        n = pk.domain
+        nm = self.n_model
+        self._dist_ntt = nm > 1 and n % (nm * nm) == 0
+        if self._dist_ntt:
+            self._ntt_plan = ntt_dist.DistNTTPlan(n.bit_length() - 1, nm)
+            self._row_shards = tuple(
+                jnp.asarray(a) for k in ("a", "b", "c")
+                for a in _shard_rows(self.arrays[k], n, nm))
+
         nm = self.n_model
         self.a_tab = jnp.asarray(_pad_table(
             ec_lm.g1_table(pk.a_g1 + [pk.delta_g1]), nm, "g1"))
@@ -128,8 +175,34 @@ class ShardedProver:
 
         self._witness = dmap(lambda inputs: witness_stage(circuit, inputs),
                              (inspec_inputs,), (lane, lane))
-        self._quotient = dmap(lambda w: quotient_stage(arrays, n, w),
-                              (lane,), lane)
+        if self._dist_ntt:
+            plan = self._ntt_plan
+            b = n // nm
+
+            def quotient_sharded(w, Ra, Ca, Fa, Rb, Cb, Fb, Rc, Cc, Fc):
+                """Rows + NTT domain sharded over 'model'; shard args
+                arrive with a leading local axis of size 1."""
+                az = _spmv_local(Ra[0], Ca[0], Fa[0], b, w)
+                bz = _spmv_local(Rb[0], Cb[0], Fb[0], b, w)
+                cz = _spmv_local(Rc[0], Cc[0], Fc[0], b, w)
+                a_cos = ntt_dist.coset_evals_dist(az, "model", plan)
+                b_cos = ntt_dist.coset_evals_dist(bz, "model", plan)
+                c_cos = ntt_dist.coset_evals_dist(cz, "model", plan)
+                # see groth16.device.quotient_stage: tighten c below 2^257
+                c_tight = lm.mont_mul(c_cos, jnp.asarray(FR.one_mont), FR)
+                q = lm.sub_n(lm.mont_mul(a_cos, b_cos, FR), c_tight, FR)
+                return lm.from_mont(q, FR)
+
+            rspec = P("model", None)
+            fspec = P("model", None, None, None)
+            qfn = dmap(quotient_sharded,
+                       (lane,) + (rspec, rspec, fspec) * 3,
+                       P("model", None, "data"))
+            shards = self._row_shards
+            self._quotient = lambda w: qfn(w, *shards)
+        else:
+            self._quotient = dmap(lambda w: quotient_stage(arrays, n, w),
+                                  (lane,), lane)
 
         def make_msm(kind):
             def stage(scalars, tab):
