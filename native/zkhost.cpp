@@ -598,4 +598,99 @@ void zk_g2_msm(const u64* scalars, const u64* points, size_t n, u64* out) {
     g2_batch_to_affine(one, out);
 }
 
+// ---------------------------------------------------------------------------
+// ceremony-derivation primitives (ptau -> proving key): pairwise scalar
+// mul, pairwise add, and segment-sum over affine point arrays.  These are
+// the EC building blocks of the Lagrange-ification (EC-iNTT butterflies)
+// and the per-wire sparse combinations — the snarkjs "prepare phase2" +
+// "groth16 setup" math (circuit/circuit-compiler.sh:99-136) done natively.
+// ---------------------------------------------------------------------------
+
+// out[i] = scalars[i] * points[i]  (pairwise; scalars < r, plain form)
+void zk_g1_scale_batch(const u64* scalars, const u64* points, size_t n,
+                       u64* out) {
+    std::vector<G1J> results(n);
+    #pragma omp parallel for schedule(static)
+    for (long long i = 0; i < (long long)n; i++) {
+        G1J p;
+        load_g1(&points[8 * i], p);
+        G1J acc;
+        memset(&acc, 0, sizeof(acc));
+        const u64* s = &scalars[4 * i];
+        for (int bit = 253; bit >= 0; bit--) {
+            g1_dbl(acc, acc);
+            if ((s[bit / 64] >> (bit % 64)) & 1) g1_add(acc, p, acc);
+        }
+        results[i] = acc;
+    }
+    g1_batch_to_affine(results, out);
+}
+
+void zk_g2_scale_batch(const u64* scalars, const u64* points, size_t n,
+                       u64* out) {
+    std::vector<G2J> results(n);
+    #pragma omp parallel for schedule(static)
+    for (long long i = 0; i < (long long)n; i++) {
+        G2J p;
+        load_g2(&points[16 * i], p);
+        G2J acc;
+        memset(&acc, 0, sizeof(acc));
+        const u64* s = &scalars[4 * i];
+        for (int bit = 253; bit >= 0; bit--) {
+            g2_dbl(acc, acc);
+            if ((s[bit / 64] >> (bit % 64)) & 1) g2_add(acc, p, acc);
+        }
+        results[i] = acc;
+    }
+    g2_batch_to_affine(results, out);
+}
+
+// out[i] = a[i] + b[i]  (pairwise affine add)
+void zk_g1_add_batch(const u64* a, const u64* b, size_t n, u64* out) {
+    std::vector<G1J> results(n);
+    for (size_t i = 0; i < n; i++) {
+        G1J pa, pb;
+        load_g1(&a[8 * i], pa);
+        load_g1(&b[8 * i], pb);
+        g1_add(pa, pb, results[i]);
+    }
+    g1_batch_to_affine(results, out);
+}
+
+void zk_g2_add_batch(const u64* a, const u64* b, size_t n, u64* out) {
+    std::vector<G2J> results(n);
+    for (size_t i = 0; i < n; i++) {
+        G2J pa, pb;
+        load_g2(&a[16 * i], pa);
+        load_g2(&b[16 * i], pb);
+        g2_add(pa, pb, results[i]);
+    }
+    g2_batch_to_affine(results, out);
+}
+
+// out[ids[i]] += points[i]  for i in [n); out has m slots, zero-initialized
+void zk_g1_segsum(const u64* points, const uint32_t* ids, size_t n,
+                  size_t m, u64* out) {
+    std::vector<G1J> acc(m);
+    for (auto& a : acc) memset(&a, 0, sizeof(G1J));
+    for (size_t i = 0; i < n; i++) {
+        G1J p;
+        load_g1(&points[8 * i], p);
+        g1_add(acc[ids[i]], p, acc[ids[i]]);
+    }
+    g1_batch_to_affine(acc, out);
+}
+
+void zk_g2_segsum(const u64* points, const uint32_t* ids, size_t n,
+                  size_t m, u64* out) {
+    std::vector<G2J> acc(m);
+    for (auto& a : acc) memset(&a, 0, sizeof(G2J));
+    for (size_t i = 0; i < n; i++) {
+        G2J p;
+        load_g2(&points[16 * i], p);
+        g2_add(acc[ids[i]], p, acc[ids[i]]);
+    }
+    g2_batch_to_affine(acc, out);
+}
+
 }  // extern "C"

@@ -1,0 +1,98 @@
+"""Scaling sweep: sharded prover throughput over 1/2/4/8 virtual devices.
+
+Runs the FULL sharded proving step (witness -> row-sharded quotient with
+distributed four-step NTT -> model-sharded MSMs -> assemble) on CPU
+meshes of increasing size at a fixed per-run problem, and writes
+scaling.json with wall-clock + parallel efficiency per mesh shape.
+
+Virtual CPU devices share the same physical cores, so the absolute
+numbers are NOT hardware speedups — the artifact this produces is (a) the
+committed evidence that the whole pipeline compiles and runs at every
+mesh shape, and (b) the harness the real pod slice reuses verbatim
+(swap JAX_PLATFORMS; see parallel/runtime.py for multi-host init).
+
+Usage:  python scripts/scaling_sweep.py        (re-execs itself with
+        8 virtual CPU devices; writes scaling.json at the repo root)
+"""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+if os.environ.get("ZKF_SWEEP_CHILD") != "1":
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["ZKF_SWEEP_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    sys.exit(subprocess.run([sys.executable, __file__], env=env).returncode)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from zkfranchise_tpu.models.census import CensusCircuit
+from zkfranchise_tpu.ops import lm
+from zkfranchise_tpu.parallel.mesh import make_mesh
+from zkfranchise_tpu.parallel.prove import ShardedProver
+
+N_LEVELS = int(os.environ.get("SWEEP_NLEVELS", "4"))
+BATCH = int(os.environ.get("SWEEP_BATCH", "8"))
+ITERS = int(os.environ.get("SWEEP_ITERS", "3"))
+
+MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]   # (data, model): 1,2,4,8 devices
+
+
+def main():
+    circuit = CensusCircuit(N_LEVELS)
+    pk = ge._synthetic_pk(circuit.cs)
+    arrs = ge._example_inputs(N_LEVELS, BATCH)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(lm.ints_to_lm(
+        [int(x) for x in rng.integers(1, 2**62, size=BATCH)]))
+    s = jnp.asarray(lm.ints_to_lm(
+        [int(x) for x in rng.integers(1, 2**62, size=BATCH)]))
+
+    rows = []
+    base = None
+    for nd, nmod in MESHES:
+        ndev = nd * nmod
+        mesh = make_mesh(n_data=nd, n_model=nmod)
+        sp = ShardedProver(circuit, pk, mesh)
+        out = sp.prove_batch_arrays(arrs, r, s)     # compile + warm
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = sp.prove_batch_arrays(arrs, r, s)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / ITERS
+        if base is None:
+            base = dt
+        eff = base / dt / ndev
+        rows.append({
+            "devices": ndev, "mesh": f"{nd}x{nmod}",
+            "dist_ntt": bool(sp._dist_ntt),
+            "step_seconds": round(dt, 3),
+            "speedup_vs_1": round(base / dt, 3),
+            "parallel_efficiency": round(eff, 3),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    result = {"nlevels": N_LEVELS, "batch": BATCH,
+              "backend": jax.default_backend(), "sweep": rows}
+    (ROOT / "scaling.json").write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

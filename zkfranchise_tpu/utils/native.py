@@ -46,6 +46,21 @@ def _load():
             fn.restype = None
             fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                            ctypes.c_size_t, ctypes.c_void_p]
+        for name in ("zk_g1_scale_batch", "zk_g2_scale_batch"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_size_t, ctypes.c_void_p]
+        for name in ("zk_g1_add_batch", "zk_g2_add_batch"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_size_t, ctypes.c_void_p]
+        for name in ("zk_g1_segsum", "zk_g2_segsum"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
@@ -150,3 +165,93 @@ def g2_msm(scalars: list, points: list):
     lib.zk_g2_msm(sc.ctypes.data, pts.ctypes.data, len(scalars),
                   res.ctypes.data)
     return _g2_from_u64(res)
+
+
+# ---------------------------------------------------------------------------
+# ceremony-derivation primitives (ptau -> pk; see groth16/ceremony.py)
+# ---------------------------------------------------------------------------
+
+def _pack_pts(points, to_u64):
+    return np.ascontiguousarray(np.stack([to_u64(p) for p in points]))
+
+
+def g1_scale_batch(scalars: list, points: list) -> list:
+    """[s_i * P_i] pairwise."""
+    lib = _load()
+    if lib is None:
+        return [ec.G1.mul(int(s), p) for s, p in zip(scalars, points)]
+    sc = np.ascontiguousarray(_scalars_to_u64(scalars))
+    pts = _pack_pts(points, _g1_to_u64)
+    res = np.zeros((len(points), 8), dtype=np.uint64)
+    lib.zk_g1_scale_batch(sc.ctypes.data, pts.ctypes.data, len(points),
+                          res.ctypes.data)
+    return [_g1_from_u64(r) for r in res]
+
+
+def g2_scale_batch(scalars: list, points: list) -> list:
+    lib = _load()
+    if lib is None:
+        return [ec.G2.mul(int(s), p) for s, p in zip(scalars, points)]
+    sc = np.ascontiguousarray(_scalars_to_u64(scalars))
+    pts = _pack_pts(points, _g2_to_u64)
+    res = np.zeros((len(points), 16), dtype=np.uint64)
+    lib.zk_g2_scale_batch(sc.ctypes.data, pts.ctypes.data, len(points),
+                          res.ctypes.data)
+    return [_g2_from_u64(r) for r in res]
+
+
+def g1_add_batch(a: list, b: list) -> list:
+    lib = _load()
+    if lib is None:
+        return [ec.G1.add(x, y) for x, y in zip(a, b)]
+    pa = _pack_pts(a, _g1_to_u64)
+    pb = _pack_pts(b, _g1_to_u64)
+    res = np.zeros((len(a), 8), dtype=np.uint64)
+    lib.zk_g1_add_batch(pa.ctypes.data, pb.ctypes.data, len(a),
+                        res.ctypes.data)
+    return [_g1_from_u64(r) for r in res]
+
+
+def g2_add_batch(a: list, b: list) -> list:
+    lib = _load()
+    if lib is None:
+        return [ec.G2.add(x, y) for x, y in zip(a, b)]
+    pa = _pack_pts(a, _g2_to_u64)
+    pb = _pack_pts(b, _g2_to_u64)
+    res = np.zeros((len(a), 16), dtype=np.uint64)
+    lib.zk_g2_add_batch(pa.ctypes.data, pb.ctypes.data, len(a),
+                        res.ctypes.data)
+    return [_g2_from_u64(r) for r in res]
+
+
+def g1_segsum(points: list, ids: list, m: int) -> list:
+    """out[ids[i]] += P_i; returns m points."""
+    assert not ids or max(ids) < m, "segment id out of range"
+    lib = _load()
+    if lib is None:
+        out = [None] * m
+        for p, i in zip(points, ids):
+            out[i] = ec.G1.add(out[i], p)
+        return out
+    pts = _pack_pts(points, _g1_to_u64)
+    idt = np.ascontiguousarray(np.asarray(ids, dtype=np.uint32))
+    res = np.zeros((m, 8), dtype=np.uint64)
+    lib.zk_g1_segsum(pts.ctypes.data, idt.ctypes.data, len(points), m,
+                     res.ctypes.data)
+    return [_g1_from_u64(r) for r in res]
+
+
+def g2_segsum(points: list, ids: list, m: int) -> list:
+    assert not ids or max(ids) < m, "segment id out of range"
+    lib = _load()
+    if lib is None:
+        out = [None] * m
+        for p, i in zip(points, ids):
+            out[i] = ec.G2.add(out[i], p)
+        return out
+    pts = _pack_pts(points, _g2_to_u64)
+    idt = np.ascontiguousarray(np.asarray(ids, dtype=np.uint32))
+    res = np.zeros((m, 16), dtype=np.uint64)
+    lib.zk_g2_segsum(pts.ctypes.data, idt.ctypes.data, len(points), m,
+                     res.ctypes.data)
+    return [_g2_from_u64(r) for r in res]
