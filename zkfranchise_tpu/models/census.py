@@ -170,12 +170,25 @@ WEIGHT_BITS = 253  # LessEqThan(252) decomposes a 253-bit value
 
 def build_census_cs(n_levels: int) -> r1cs.ConstraintSystem:
     """Constraint system for ZkFranchiseProofCircuit(n_levels).
-    Sibling arrays have length n_levels+1 (census.circom:50,66-67)."""
+    Sibling arrays have length n_levels+1 (census.circom:50,66-67).
+
+    Sets ``cs.gadget_rows``: {gadget name: (first_row, end_row)} — used by
+    the adversarial witness-mutation tests to assert that corrupting a
+    gadget's witness block violates one of THAT gadget's constraints."""
     L = n_levels + 1
     cs = r1cs.ConstraintSystem(num_public=N_PUBLIC)
     cs.alloc(12 + 2 * L)  # publics + scalar privates + sibling arrays
     cens_sib = FIRST_SIBLING
     sik_sib = FIRST_SIBLING + L
+
+    marks = {}
+
+    def mark(name, fn, *args, **kw):
+        r0, v0 = cs.num_constraints, cs.num_vars
+        out = fn(*args, **kw)
+        marks[name] = {"rows": (r0, cs.num_constraints),
+                       "vars": (v0, cs.num_vars)}
+        return out
 
     one = lc_const(1)
     vw = lc((IDX_VOTEWEIGHT, 1))
@@ -185,30 +198,38 @@ def build_census_cs(n_levels: int) -> r1cs.ConstraintSystem:
     sig = lc((IDX_SIGNATURE, 1))
 
     # 1. weight check: bits of E = vw + 2^252 - 1 - aw, top bit must be 0
-    e_lc = lc_add(lc_sub(vw, aw), lc_const((1 << 252) - 1))
-    wstart = build_num2bits(cs, e_lc, WEIGHT_BITS)
-    cs.enforce_zero(lc((wstart + WEIGHT_BITS - 1, 1)))
+    def weight_gadget():
+        e_lc = lc_add(lc_sub(vw, aw), lc_const((1 << 252) - 1))
+        wstart = build_num2bits(cs, e_lc, WEIGHT_BITS)
+        cs.enforce_zero(lc((wstart + WEIGHT_BITS - 1, 1)))
+        return wstart
+
+    mark("weight", weight_gadget)
 
     # 2. address bit decomposition, strict (value < r)
-    abits = build_num2bits(cs, addr, KEY_BITS)
-    build_leq_const(cs, abits, KEY_BITS, P - 1)
+    abits = mark("addr_bits", build_num2bits, cs, addr, KEY_BITS)
+    mark("addr_strict", build_leq_const, cs, abits, KEY_BITS, P - 1)
 
     # 3. SIK = Poseidon(address, password, signature)
-    sik_out = build_poseidon(cs, [addr, pwd, sig])
+    sik_out = mark("sik_poseidon", build_poseidon, cs, [addr, pwd, sig])
 
     # 4. SIK tree inclusion
-    build_smt_inclusion(cs, abits, addr, sik_out,
-                        lc((IDX_SIKROOT, 1)), sik_sib, L)
+    mark("sik_tree", build_smt_inclusion, cs, abits, addr, sik_out,
+         lc((IDX_SIKROOT, 1)), sik_sib, L)
 
     # 5. census tree inclusion
-    build_smt_inclusion(cs, abits, addr, aw,
-                        lc((IDX_CENSUSROOT, 1)), cens_sib, L)
+    mark("census_tree", build_smt_inclusion, cs, abits, addr, aw,
+         lc((IDX_CENSUSROOT, 1)), cens_sib, L)
 
     # 6. nullifier
-    null_out = build_poseidon(cs, [sig, pwd,
-                                   lc((IDX_EID0, 1)), lc((IDX_EID1, 1))])
-    cs.enforce_linear(null_out, lc((IDX_NULLIFIER, 1)))
+    def nullifier_gadget():
+        null_out = build_poseidon(cs, [sig, pwd,
+                                       lc((IDX_EID0, 1)), lc((IDX_EID1, 1))])
+        cs.enforce_linear(null_out, lc((IDX_NULLIFIER, 1)))
+
+    mark("nullifier", nullifier_gadget)
     _ = one
+    cs.gadget_rows = marks
     return cs
 
 
