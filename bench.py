@@ -65,6 +65,20 @@ def get_or_make_inputs():
     return arrs
 
 
+def force(out):
+    """Force completion of a pytree of device arrays by fetching ONE
+    scalar from each leaf.  jax.block_until_ready over the axon tunnel
+    does NOT reliably wait for execution (async queue), and fetching full
+    arrays crawls through the tunnel — a dependent scalar fetch is both
+    correct and cheap."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def main():
     import jax
     from zkfranchise_tpu.groth16 import verify as gverify
@@ -96,7 +110,7 @@ def main():
     for i in range(ITERS):
         pa, pb, pc, publics = prover.prove_arrays(
             arrs, *prover_rs(prover, seed=2 + i))
-    jax.block_until_ready((pa, pb, pc, publics))
+        force((pa, pb, pc, publics))
     dt = time.time() - t0
     proofs_per_sec = BATCH * ITERS / dt
 
@@ -124,10 +138,10 @@ def stage_breakdown(prover, arrs):
 
     def timeit(name, fn, *args):
         res = fn(*args)
-        jax.block_until_ready(res)
+        force(res)
         t0 = time.time()
         res = fn(*args)
-        jax.block_until_ready(res)
+        force(res)
         out[name] = round(time.time() - t0, 4)
         return res
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zkfranchise_tpu.ops import ec, ec_lm, ff, lm, msm_lm
+from zkfranchise_tpu.ops import ec, ec_affine, ec_lm, ff, lm, msm_lm
 from zkfranchise_tpu.ops.pallas import lm_kernels as K
 
 FAILED = []
@@ -104,7 +104,7 @@ def main():
             ("g1", ec.G1, ec.g1_mul, ec_lm.g1_plane_to_affine, 300),
             ("g2", ec.G2, ec.g2_mul, ec_lm.g2_plane_to_affine, 48)):
         B = 8
-        tab_fn = ec_lm.g1_table if kind == "g1" else ec_lm.g2_table
+        tab_fn = lambda ps: ec_affine.affine_table(ps, kind)
         pts = [gmul(j + 3) for j in range(n)]
         scal = [[int.from_bytes(rng.bytes(32), "big") % ff.P_FR
                  for _ in range(n)] for _ in range(B)]

@@ -10,7 +10,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from zkfranchise_tpu.ops import ec, ec_lm, ff, lm, msm_lm
+from zkfranchise_tpu.ops import ec, ec_affine, ec_lm, ff, lm, msm_lm
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -40,8 +40,7 @@ def _run(b, n, kind, scal=None, pts=None):
             pts = [ec.g1_mul(j + 3) for j in range(n)]
         else:
             pts = [ec.g2_mul(j + 3) for j in range(n)]
-    table = jnp.asarray(
-        (ec_lm.g1_table if kind == "g1" else ec_lm.g2_table)(pts))
+    table = jnp.asarray(ec_affine.affine_table(pts, kind))
     out = _msm_jit(_to_lm(scal), table, kind)       # (B, rows, 1)
     plane = jnp.swapaxes(out[..., 0], 0, 1)         # (rows, B)
     if kind == "g1":

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.census import CensusCircuit
-from ..ops import ec_lm, ff, lm, msm_lm, ntt, sparse
+from ..ops import ec_affine, ec_lm, ff, lm, msm_lm, ntt, sparse
 from ..ops.lm import FR, N_LIMBS
 from ..ops.pallas import lm_kernels as K
 from . import qap
@@ -60,8 +60,8 @@ def quotient_stage(arrays: dict, n: int, w: jnp.ndarray) -> jnp.ndarray:
     # forward-NTT outputs carry value ~log2(n) * 2^257 (lazy butterfly
     # growth); c must be VALUE-tightened below 2^257 before it can be a
     # spread-subtrahend — one mul by R brings it to < p(1+eps)
-    c_tight = lm.mont_mul(c_cos, jnp.asarray(FR.one_mont), FR)
-    q = lm.sub_n(lm.mont_mul(a_cos, b_cos, FR), c_tight, FR)
+    c_tight = K.mont_mul(c_cos, jnp.asarray(FR.one_mont), FR)
+    q = lm.sub_n(K.mont_mul(a_cos, b_cos, FR), c_tight, FR)
     return lm.from_mont(q, FR)
 
 
@@ -120,18 +120,19 @@ class DeviceProver:
         assert self.arrays["num_constraints"] <= pk.domain
 
         # --- limb-major point tables -------------------------------------
-        self.a_tab = jnp.asarray(ec_lm.g1_table(pk.a_g1 + [pk.delta_g1]))
+        self.a_tab = jnp.asarray(
+            ec_affine.g1_affine_table(pk.a_g1 + [pk.delta_g1]))
         # compacted B tables (B_i zero <=> both G1/G2 entries are None)
         nz = [i for i, pt in enumerate(pk.b_g1) if pt is not None]
         assert all((pk.b_g2[i] is not None) == (pk.b_g1[i] is not None)
                    for i in range(len(pk.b_g1)))
         self.b_nz = np.asarray(nz + [len(pk.b_g1)], dtype=np.int32)
-        self.b1_tab = jnp.asarray(
-            ec_lm.g1_table([pk.b_g1[i] for i in nz] + [pk.delta_g1]))
-        self.b2_tab = jnp.asarray(
-            ec_lm.g2_table([pk.b_g2[i] for i in nz] + [pk.delta_g2]))
-        self.c_tab = jnp.asarray(
-            ec_lm.g1_table(pk.k_g1 + pk.h_g1 + [pk.delta_g1]))
+        self.b1_tab = jnp.asarray(ec_affine.g1_affine_table(
+            [pk.b_g1[i] for i in nz] + [pk.delta_g1]))
+        self.b2_tab = jnp.asarray(ec_affine.g2_affine_table(
+            [pk.b_g2[i] for i in nz] + [pk.delta_g2]))
+        self.c_tab = jnp.asarray(ec_affine.g1_affine_table(
+            pk.k_g1 + pk.h_g1 + [pk.delta_g1]))
         self.alpha = jnp.asarray(ec_lm.g1_table([pk.alpha_g1]).T)   # (63,1)
         self.beta1 = jnp.asarray(ec_lm.g1_table([pk.beta_g1]).T)
         self.beta2 = jnp.asarray(ec_lm.g2_table([pk.beta_g2]).T)    # (126,1)

@@ -4,19 +4,22 @@ Replaces ops/msm.py's Blelloch-scan formulation (go-rapidsnark's MSM role,
 SURVEY.md §3.3 hot loop #3) with a structure shaped by what measured fast
 on v5e:
 
-  * 8-bit windows as a batch axis (all windows' bucket work vectorized);
-  * per window: argsort digits, compose the point gather with a
-    BIT-REVERSAL so the sum tree's every level is a contiguous
+  * 8-bit SIGNED-DIGIT windows (e in [-128, 127], carry-recoded): bucket
+    magnitudes are 0..128, so the path-gather/prefix stage runs on 128
+    lanes instead of 256 — half the bucket work of unsigned digits.
+    Negations are a masked y-negate on the gathered points;
+  * per window: argsort digit MAGNITUDES, compose the point gather with
+    a BIT-REVERSAL so the sum tree's every level is a contiguous
     fold-in-half add — x[..., :m/2] + x[..., m/2:] — which the Pallas
     kernel consumes zero-copy (two BlockSpecs into one buffer).
     Upsweep total: m-1 adds (the minimum for a sum tree);
-  * NO downsweep: the 255 bucket-boundary prefix sums are assembled by
+  * NO downsweep: the 128 bucket-boundary prefix sums are assembled by
     walking root-to-leaf paths over the retained levels (<= log2(m) adds
-    per bucket — 255*14 instead of m extra adds per window);
-  * bucket counts by vmapped binary search over the sorted digits
-    (the old compare-sum built an (lanes, m, 255) tensor);
-  * telescoped weighted-bucket identity (sum_b b*S_b = 255*total -
-    sum_{b<255} prefix_b) — one 255-leaf tree instead of a bucket walk.
+    per bucket);
+  * bucket counts by vmapped binary search over the sorted magnitudes
+    (the old compare-sum built an (lanes, m, buckets) tensor);
+  * telescoped weighted-bucket identity (sum_b b*S_b = 128*total -
+    sum_{b<128} prefix_b) — one 128-leaf tree instead of a bucket walk.
 
 Scalars arrive in limb-major plain form (n, 21, B) int32 with EXACT
 canonical limbs (the witness pipeline's output); points are (n, rows)
@@ -30,12 +33,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import ec_lm, lm
+from . import ec_affine, ec_lm, lm
 from .pallas import lm_kernels as K
 
 WBITS = 8
 N_WINDOWS = 32
-N_BUCKETS = 1 << WBITS
+N_MAGS = 1 << (WBITS - 1)       # signed-digit magnitudes 1..128; prefix
+                                # queries cover 0..127 (= N_MAGS lanes)
+
+
+def _signed_digits(digits: jnp.ndarray):
+    """(32, B, n) unsigned base-256 digits -> (signs, mags) with the
+    signed-digit recoding e_w in [-128, 127]:  e = d + carry;
+    e >= 128 -> e -= 256, carry out 1.  Scalars are < 2^254, so window
+    31's digit is <= 63 and the final carry is always 0."""
+    signs, mags = [], []
+    carry = jnp.zeros_like(digits[0])
+    for w in range(N_WINDOWS):
+        e = digits[w] + carry
+        hi = (e >= N_MAGS).astype(jnp.int32)
+        e = e - 256 * hi
+        carry = hi
+        signs.append((e < 0).astype(jnp.int32))
+        mags.append(jnp.abs(e))
+    return jnp.stack(signs), jnp.stack(mags)
 
 
 def _next_pow2(n):
@@ -90,8 +111,9 @@ def _double_k(x: jnp.ndarray, k: int, kind: str) -> jnp.ndarray:
 def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
         window_group: int | None = None) -> jnp.ndarray:
     """scalars_plain: (n, 21, B) int32 canonical limb-major plain form;
-    table: (n, rows) int32 point rows (Montgomery projective).
-    Returns (B, rows, 1) packed result planes.
+    table: (n, arows) int32 AFFINE point rows (ec_affine.affine_table:
+    exact canonical Montgomery coords + inf mask).
+    Returns (B, rows, 1) packed PROJECTIVE result planes.
 
     window_group bounds peak memory (the (G*B, m, rows) point gather):
     sized so G*B <= 128 on TPU (~3 GB peak at m=32k including the
@@ -103,7 +125,9 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
             window_group = max(1, min(8, 128 // scalars_plain.shape[-1]))
         else:
             window_group = N_WINDOWS
-    rows = table.shape[-1]
+    rows = ec_lm.G1_ROWS if kind == "g1" else ec_lm.G2_ROWS
+    arows = ec_affine.AROWS[kind]
+    assert table.shape[-1] == arows, "msm expects an AFFINE table"
     n, B = scalars_plain.shape[0], scalars_plain.shape[-1]
     assert table.shape[0] == n
     m = _next_pow2(n)
@@ -111,22 +135,44 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
 
     digits = lm.window_digits(scalars_plain, WBITS, N_WINDOWS)  # (32, n, B)
     digits = jnp.swapaxes(digits, -1, -2)                       # (32, B, n)
+    signs, mags = _signed_digits(digits)
     if m != n:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((N_WINDOWS, B, m - n), jnp.int32)], axis=-1)
-        pad_rows = np.broadcast_to(
-            K.identity_plane(kind, (), 1)[:, 0][None, :], (m - n, rows))
-        table = jnp.concatenate([table, jnp.asarray(pad_rows)], axis=0)
+        zpad = jnp.zeros((N_WINDOWS, B, m - n), jnp.int32)
+        signs = jnp.concatenate([signs, zpad], axis=-1)
+        mags = jnp.concatenate([mags, zpad], axis=-1)
+        table = jnp.concatenate(
+            [table, jnp.asarray(ec_affine.identity_rows(kind, m - n))],
+            axis=0)
+    # doubled table [P | -P]: sign application is a gather offset, not
+    # arithmetic.  Converted to PROJECTIVE rows once per call: the
+    # upsweep runs the fused Pallas RCB15 fold — a measured 1.5x faster
+    # end-to-end than the batch-affine fold (ops/ec_affine.py), whose
+    # ~15 separate XLA passes per level are HBM/dispatch-bound even
+    # though its arithmetic is cheaper.
+    table_aff_ext = jnp.concatenate(
+        [table, jnp.swapaxes(
+            ec_affine.neg_affine(jnp.swapaxes(table, 0, 1), kind), 0, 1)],
+        axis=0)
+    table_ext = jnp.swapaxes(ec_affine.to_projective(
+        jnp.swapaxes(table_aff_ext, 0, 1), kind), 0, 1)   # (2m, rows)
 
     br = jnp.asarray(_bitrev(m))
-    w_sums = []
-    for g0 in range(0, N_WINDOWS, window_group):
-        d = digits[g0:g0 + window_group]                # (G, B, m)
-        G = d.shape[0]
+    G = window_group
+    assert N_WINDOWS % G == 0
+
+    def group_body(_, sd):
+        """sd: (signs, mags) each (G, B, m) for one window group
+        -> (G, B, rows, 1).  Runs under lax.scan so the (large)
+        bucket-accumulation program is traced ONCE regardless of the
+        group count — at B=128 the group loop is 32 iterations and an
+        unrolled trace does not compile in reasonable time."""
+        sg, d = sd
         order = jnp.argsort(d, axis=-1).astype(jnp.int32)
         d_sorted = jnp.take_along_axis(d, order, axis=-1)
         perm = order[..., br]                           # fold-order gather
-        pts = table[perm.reshape(G * B, m)]             # (G*B, m, rows)
+        sg_fold = jnp.take_along_axis(sg, perm, axis=-1)
+        idx = (perm + m * sg_fold).reshape(G * B, m)    # signed: 2nd half
+        pts = table_ext[idx]                            # (G*B, m, rows)
         x = jnp.swapaxes(pts, -1, -2)                   # (G*B, rows, m)
 
         # upsweep (levels[l]: block sums of size 2^l, fold-ordered)
@@ -136,38 +182,37 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
             levels.append(x)
         total = levels[-1]                              # (G*B, rows, 1)
 
-        # bucket-boundary positions: counts[b] = #{digits <= b}
-        buckets = jnp.arange(N_BUCKETS - 1, dtype=jnp.int32)   # 0..254
+        # bucket-boundary positions: counts[b] = #{mags <= b}, b < 128
+        buckets = jnp.arange(N_MAGS, dtype=jnp.int32)
         counts = jax.vmap(
             lambda row: jnp.searchsorted(row, buckets, side="right"))(
-            d_sorted.reshape(G * B, m)).astype(jnp.int32)       # (G*B, 255)
-        # pad to 256 lanes with an empty query (count 0 -> identity)
-        counts = jnp.concatenate(
-            [counts, jnp.zeros((G * B, 1), jnp.int32)], axis=-1)
+            d_sorted.reshape(G * B, m)).astype(jnp.int32)       # (G*B, 128)
 
         # path-gather inclusive prefixes P(counts-1) over the sum tree
-        acc = jnp.asarray(K.identity_plane(kind, (G * B,), N_BUCKETS))
+        acc = jnp.asarray(K.identity_plane(kind, (G * B,), N_MAGS))
         remaining = counts
         offset = jnp.zeros_like(counts)
         for lvl in range(log_m, -1, -1):
-            take = (remaining >> lvl) & 1               # (G*B, 256)
+            take = (remaining >> lvl) & 1               # (G*B, 128)
             blk = offset >> lvl                         # block index
             src = _bitrev_traced(blk, log_m - lvl)      # fold-order index
             node = jnp.take_along_axis(
-                levels[lvl], src[:, None, :], axis=-1)  # (G*B, rows, 256)
+                levels[lvl], src[:, None, :], axis=-1)  # (G*B, rows, 128)
             added = K.padd(acc, node, kind)
             acc = jnp.where((take == 1)[:, None, :], added, acc)
             offset = offset + (take << lvl)
-        # acc[..., :255] = T_b (prefix sums); lane 255 = identity
+        # acc[..., b] = T_b (prefix over mags <= b), b = 0..127
         u = _tree_reduce_lanes(acc, kind)               # sum_b T_b
 
-        # W = 255 * total - sum_b T_b
-        t255 = K.padd(_double_k(total, WBITS, kind),
-                      _neg_plane(total, kind), kind)    # 255 * total
-        w = K.padd(t255, _neg_plane(u, kind), kind)     # (G*B, rows, 1)
-        w_sums.append(w.reshape(G, B, rows, 1))
+        # W = sum_{b=1}^{128} b*S_b = 128 * total - sum_{b<128} T_b
+        t128 = _double_k(total, WBITS - 1, kind)        # 128 * total
+        w = K.padd(t128, _neg_plane(u, kind), kind)     # (G*B, rows, 1)
+        return None, w.reshape(G, B, rows, 1)
 
-    w_all = jnp.concatenate(w_sums, axis=0)             # (32, B, rows, 1)
+    shape_g = (N_WINDOWS // G, G, B, m)
+    _, w_all = jax.lax.scan(group_body, None,
+                            (signs.reshape(shape_g), mags.reshape(shape_g)))
+    w_all = w_all.reshape(N_WINDOWS, B, rows, 1)        # (32, B, rows, 1)
 
     # Horner over windows, most significant first (tiny; XLA path)
     fn = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2

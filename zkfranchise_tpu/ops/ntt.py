@@ -29,6 +29,7 @@ import numpy as np
 from ..groth16 import poly
 from . import ff, lm
 from .lm import FR
+from .pallas import lm_kernels as K
 
 P = ff.P_FR
 
@@ -109,7 +110,7 @@ def _transform(x: jnp.ndarray, gathers, tws, final) -> jnp.ndarray:
     for g, tw in zip(gathers, tws):
         paired = x[jnp.asarray(g)]
         lo, hi = paired[:h], paired[h:]
-        hi = lm.mont_mul(hi, jnp.asarray(tw), FR)
+        hi = K.mont_mul(hi, jnp.asarray(tw), FR)
         out_lo = lm.weak_norm(lo + hi)
         out_hi = lm.sub_n(lo, hi, FR)
         x = jnp.concatenate([out_lo, out_hi], axis=0)
@@ -124,7 +125,7 @@ def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     if not inverse:
         return _transform(x, plan.fwd_g, plan.fwd_tw, plan.fwd_final)
     y = _transform(x, plan.inv_g, plan.inv_tw, plan.inv_final)
-    return lm.mont_mul(y, jnp.asarray(plan.n_inv_mont), FR)
+    return K.mont_mul(y, jnp.asarray(plan.n_inv_mont), FR)
 
 
 def coset_evals_from_domain_evals(x: jnp.ndarray) -> jnp.ndarray:
@@ -133,5 +134,5 @@ def coset_evals_from_domain_evals(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[0]
     plan = NTTPlan(n.bit_length() - 1)
     coefs = ntt(x, inverse=True)
-    shifted = lm.mont_mul(coefs, jnp.asarray(plan.shift_pows), FR)
+    shifted = K.mont_mul(coefs, jnp.asarray(plan.shift_pows), FR)
     return ntt(shifted)

@@ -40,6 +40,7 @@ import numpy as np
 from ..groth16 import poly
 from . import ff, lm, ntt
 from .lm import FR
+from .pallas import lm_kernels as K
 
 P = ff.P_FR
 
@@ -125,7 +126,7 @@ def _combine(m_tab: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     for k1 in range(nm):
         acc = None
         for j1 in range(nm):
-            term = lm.mont_mul(m_tab[k1, j1], x[j1], FR)
+            term = K.mont_mul(m_tab[k1, j1], x[j1], FR)
             acc = term if acc is None else acc + term
         outs.append(lm.weak_norm(acc, 2))
     return jnp.stack(outs, axis=0)
@@ -144,14 +145,14 @@ def intt_dist(x_local: jnp.ndarray, axis: str, plan: DistNTTPlan
     xt = jax.lax.all_to_all(xs, axis, split_axis=0, concat_axis=0)
     y = _combine(jnp.asarray(plan.m_inv), xt)       # [k1, j2b]
     tw = _chip_slice(plan.tw_inv, axis)             # (nm, c, 21, 1)
-    y = lm.mont_mul(y, tw, FR)
+    y = K.mont_mul(y, tw, FR)
     # transpose back: chip k1 gets all (j2a, j2b) = all j2
     z = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=0)
     z = z.reshape(b, lm.N_LIMBS, T)                 # natural j2 order
     # local length-b inverse transform (includes its own 1/b scale)
     lp = plan.local_plan
     out = ntt._transform(z, lp.inv_g, lp.inv_tw, lp.inv_final)
-    return lm.mont_mul(out, jnp.asarray(lp.n_inv_mont), FR)
+    return K.mont_mul(out, jnp.asarray(lp.n_inv_mont), FR)
 
 
 def ntt_dist(z_local: jnp.ndarray, axis: str, plan: DistNTTPlan
@@ -165,7 +166,7 @@ def ntt_dist(z_local: jnp.ndarray, axis: str, plan: DistNTTPlan
     lp = plan.local_plan
     zt = ntt._transform(z_local, lp.fwd_g, lp.fwd_tw, lp.fwd_final)
     tw = _chip_slice(plan.tw_fwd, axis)             # (b, 21, 1)
-    zt = lm.mont_mul(zt, tw, FR)
+    zt = K.mont_mul(zt, tw, FR)
     # split k2 -> (k2a, k2b); transpose: chip k2a gets all j1
     zs = zt.reshape(nm, c, lm.N_LIMBS, T)
     xt = jax.lax.all_to_all(zs, axis, split_axis=0, concat_axis=0)
@@ -182,7 +183,7 @@ def coset_evals_dist(x_local: jnp.ndarray, axis: str, plan: DistNTTPlan
     Two distributed transforms + one strided shift-multiply."""
     coefs = intt_dist(x_local, axis, plan)          # strided coefficients
     sh = _chip_slice(plan.shift_strided, axis)      # (b, 21, 1)
-    return ntt_dist(lm.mont_mul(coefs, sh, FR), axis, plan)
+    return ntt_dist(K.mont_mul(coefs, sh, FR), axis, plan)
 
 
 def unstride(gathered: jnp.ndarray, nm: int) -> jnp.ndarray:

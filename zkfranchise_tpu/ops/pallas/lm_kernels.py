@@ -155,35 +155,65 @@ def fold_padd(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mont_mul_kernel(c_ref, a_ref, b_ref, o_ref):
-    fs, _, _ = ec_lm.unpack_ec_consts(c_ref[:, :])
-    o_ref[0, :, :] = lm.mont_mul(a_ref[0, :, :], b_ref[0, :, :], fs)
+    fs = lm.unpack_consts(c_ref[:, :])
+    o_ref[:, :, :] = lm.mont_mul(a_ref[:, :, :], b_ref[:, :, :], fs)
+
+
+@functools.lru_cache(maxsize=None)
+def _field_consts_np(field: str, tile: int) -> np.ndarray:
+    fs = lm.FQ if field == "fq" else lm.FR
+    return lm.pack_consts(fs, tile)
+
+
+MM_BLK = 8          # leading-axis rows per kernel step (amortizes grid
+                    # overhead; the element axis is usually thousands)
 
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fs=lm.FQ) -> jnp.ndarray:
-    """(..., 21, T) x (..., 21, T) -> (..., 21, T).  NOTE: kernel path is
-    FQ-only (EC coordinates); pass fs for the XLA fallback/other fields."""
-    if not on_tpu() or fs is not lm.FQ:
+    """(..., 21, T) x (..., 21, T) -> (..., 21, T) Montgomery product in a
+    Pallas kernel (FQ or FR).  The XLA fallback path (other backends /
+    other fields) uses the rolled schoolbook, which on TPU is ~30x slower
+    per element than this kernel (HBM-bound accumulator loop) — route
+    every hot FR multiply (NTT butterflies, sparse matvec) through here."""
+    if fs is lm.FQ:
+        field = "fq"
+    elif fs is lm.FR:
+        field = "fr"
+    else:
+        field = None
+    if not on_tpu() or field is None:
         return lm.mont_mul(a, b, fs)
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape).reshape(-1, N_LIMBS, shape[-1])
     b = jnp.broadcast_to(b, shape).reshape(-1, N_LIMBS, shape[-1])
     B, _, T = a.shape
     t = _tile(T)
+    blk = MM_BLK
+    Bp = (B + blk - 1) // blk * blk
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0), (0, 0)]
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
     with _unrolled():
         out = pl.pallas_call(
             _mont_mul_kernel,
-            out_shape=jax.ShapeDtypeStruct((B, N_LIMBS, T), jnp.int32),
-            grid=(B, T // t),
-            in_specs=[pl.BlockSpec((ec_lm.EC_CONST_ROWS * N_LIMBS, t), lambda bb, j: (0, 0),
+            out_shape=jax.ShapeDtypeStruct((Bp, N_LIMBS, t * (T // t)),
+                                           jnp.int32),
+            grid=(Bp // blk, T // t),
+            in_specs=[pl.BlockSpec((lm.N_CONST_ROWS * N_LIMBS, t),
+                                   lambda bb, j: (0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+                      pl.BlockSpec((blk, N_LIMBS, t),
+                                   lambda bb, j: (bb, 0, j),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+                      pl.BlockSpec((blk, N_LIMBS, t),
+                                   lambda bb, j: (bb, 0, j),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, N_LIMBS, t), lambda bb, j: (bb, 0, j),
+            out_specs=pl.BlockSpec((blk, N_LIMBS, t),
+                                   lambda bb, j: (bb, 0, j),
                                    memory_space=pltpu.VMEM),
-        )(_ec_consts(t), a, b)
-    return out.reshape(shape)
+        )(jnp.asarray(_field_consts_np(field, t)), a, b)
+    return out[:B].reshape(shape)
 
 
 def _fold_mul_kernel(c_ref, a_ref, b_ref, o_ref):

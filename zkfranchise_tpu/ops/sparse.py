@@ -22,6 +22,7 @@ import numpy as np
 
 from . import lm
 from .lm import FR
+from .pallas import lm_kernels as K
 
 
 def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_mont: np.ndarray,
@@ -31,7 +32,7 @@ def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_mont: np.ndarray,
     Returns (n_rows, 21, T) Montgomery row values (rows beyond the last
     index are zero)."""
     gathered = w_mont[jnp.asarray(cols)]               # (nnz, 21, T)
-    prods = lm.mont_mul(jnp.asarray(coeffs_mont), gathered, FR)
+    prods = K.mont_mul(jnp.asarray(coeffs_mont), gathered, FR)
     seg = jax.ops.segment_sum(prods, jnp.asarray(rows),
                               num_segments=n_rows)     # (n_rows, 21, T)
     return lm.weak_norm(seg, 2)

@@ -33,7 +33,7 @@ from ..models.census import CensusCircuit
 from ..groth16 import qap
 from ..groth16.device import (assemble_stage, neg_rs_scalar, quotient_stage,
                               witness_stage)
-from ..ops import ec_lm, lm, msm_lm, ntt_dist
+from ..ops import ec_affine, ec_lm, lm, msm_lm, ntt_dist
 from ..ops.lm import FR, N_LIMBS
 from ..ops.pallas import lm_kernels as K
 
@@ -69,14 +69,13 @@ def _spmv_local(R, C, F, b: int, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pad_table(tab: np.ndarray, mult: int, kind: str) -> np.ndarray:
-    """Pad an (n, rows) point table with identity rows to a multiple."""
-    n, rows = tab.shape
+    """Pad an (n, arows) AFFINE table with identity rows to a multiple."""
+    n = tab.shape[0]
     m = ((n + mult - 1) // mult) * mult
     if m == n:
         return tab
-    pad = np.broadcast_to(K.identity_plane(kind, (), 1)[:, 0][None, :],
-                          (m - n, rows))
-    return np.concatenate([np.asarray(tab), pad], axis=0)
+    return np.concatenate(
+        [np.asarray(tab), ec_affine.identity_rows(kind, m - n)], axis=0)
 
 
 def _tree_reduce_axis0(pts: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -142,17 +141,18 @@ class ShardedProver:
 
         nm = self.n_model
         self.a_tab = jnp.asarray(_pad_table(
-            ec_lm.g1_table(pk.a_g1 + [pk.delta_g1]), nm, "g1"))
+            ec_affine.g1_affine_table(pk.a_g1 + [pk.delta_g1]), nm, "g1"))
         nz = [i for i, pt in enumerate(pk.b_g1) if pt is not None]
         self.b_nz = np.asarray(nz + [len(pk.b_g1)], dtype=np.int32)
         self.b1_tab = jnp.asarray(_pad_table(
-            ec_lm.g1_table([pk.b_g1[i] for i in nz] + [pk.delta_g1]),
-            nm, "g1"))
+            ec_affine.g1_affine_table([pk.b_g1[i] for i in nz]
+                                      + [pk.delta_g1]), nm, "g1"))
         self.b2_tab = jnp.asarray(_pad_table(
-            ec_lm.g2_table([pk.b_g2[i] for i in nz] + [pk.delta_g2]),
-            nm, "g2"))
+            ec_affine.g2_affine_table([pk.b_g2[i] for i in nz]
+                                      + [pk.delta_g2]), nm, "g2"))
         self.c_tab = jnp.asarray(_pad_table(
-            ec_lm.g1_table(pk.k_g1 + pk.h_g1 + [pk.delta_g1]), nm, "g1"))
+            ec_affine.g1_affine_table(pk.k_g1 + pk.h_g1 + [pk.delta_g1]),
+            nm, "g1"))
         self.alpha = jnp.asarray(ec_lm.g1_table([pk.alpha_g1]).T)
         self.beta1 = jnp.asarray(ec_lm.g1_table([pk.beta_g1]).T)
         self.beta2 = jnp.asarray(ec_lm.g2_table([pk.beta_g2]).T)
