@@ -72,3 +72,20 @@ def test_msm_g1_identity_points():
 
 def test_msm_g2_small():
     _run(1, 5, "g2")
+
+
+def test_msm_pow2_chunking(monkeypatch):
+    """Force multi-chunk decomposition (prod: n=10150 -> 8192+2048) at
+    test scale and check the combined result + the chunk plan."""
+    monkeypatch.setattr(msm_lm, "MIN_CHUNK", 4)
+    assert msm_lm._chunks(9) == [(0, 8, 8), (8, 1, 1)]
+    assert msm_lm._chunks(8) == [(0, 8, 8)]
+    assert msm_lm._chunks(3) == [(0, 3, 4)]
+    assert msm_lm._chunks(13) == [(0, 13, 16)]   # waste < threshold
+    scal = [[0, 1, 2, ff.P_FR - 1, 7, 1 << 130, 5, 6, 12]]
+    pts = [ec.g1_mul(j + 3) for j in range(8)] + [None]
+    table = jnp.asarray(ec_affine.affine_table(pts, "g1"))
+    out = msm_lm.msm(_to_lm(scal), table, "g1")
+    plane = jnp.swapaxes(out[..., 0], 0, 1)
+    want = [ec.msm_host(scal[0], pts, ec.G1)]
+    assert ec_lm.g1_plane_to_affine(plane) == want

@@ -23,7 +23,8 @@ on v5e:
 
 Scalars arrive in limb-major plain form (n, 21, B) int32 with EXACT
 canonical limbs (the witness pipeline's output); points are (n, rows)
-int32 row tables from ec_lm.g1_table / g2_table.
+int32 AFFINE row tables from ec_affine.affine_table (sign application
+gathers from a doubled [P|-P] table; results are projective planes).
 """
 from __future__ import annotations
 
@@ -130,19 +131,68 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     assert table.shape[-1] == arows, "msm expects an AFFINE table"
     n, B = scalars_plain.shape[0], scalars_plain.shape[-1]
     assert table.shape[0] == n
-    m = _next_pow2(n)
-    log_m = m.bit_length() - 1
 
     digits = lm.window_digits(scalars_plain, WBITS, N_WINDOWS)  # (32, n, B)
     digits = jnp.swapaxes(digits, -1, -2)                       # (32, B, n)
-    signs, mags = _signed_digits(digits)
-    if m != n:
-        zpad = jnp.zeros((N_WINDOWS, B, m - n), jnp.int32)
-        signs = jnp.concatenate([signs, zpad], axis=-1)
-        mags = jnp.concatenate([mags, zpad], axis=-1)
-        table = jnp.concatenate(
-            [table, jnp.asarray(ec_affine.identity_rows(kind, m - n))],
-            axis=0)
+    signs_all, mags_all = _signed_digits(digits)
+
+    # pow2-CHUNK the point set: a single tree pads n to the next power
+    # of two (A table: 10150 -> 16384, 61% wasted adds); greedy pow2
+    # chunks waste < the smallest chunk and their per-window sums
+    # combine with one padd before the shared Horner.
+    w_all = None
+    for start, real, m in _chunks(n):
+        sg = signs_all[..., start:start + real]
+        mg = mags_all[..., start:start + real]
+        tab = table[start:start + real]
+        if m != real:
+            zpad = jnp.zeros((N_WINDOWS, B, m - real), jnp.int32)
+            sg = jnp.concatenate([sg, zpad], axis=-1)
+            mg = jnp.concatenate([mg, zpad], axis=-1)
+            tab = jnp.concatenate(
+                [tab, jnp.asarray(ec_affine.identity_rows(kind, m - real))],
+                axis=0)
+        w_chunk = _window_sums(sg, mg, tab, kind, window_group, m, rows)
+        w_all = w_chunk if w_all is None else \
+            (ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2)(
+                w_all, w_chunk)
+
+    # Horner over windows, most significant first (tiny; XLA path)
+    fn = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2
+
+    def horner(acc, wv):
+        acc = jax.lax.fori_loop(0, WBITS, lambda i, v: fn(v, v), acc)
+        return fn(acc, wv), None
+
+    acc0 = jnp.asarray(K.identity_plane(kind, (B,), 1))
+    acc, _ = jax.lax.scan(horner, acc0, w_all[::-1])
+    return acc
+
+
+MIN_CHUNK = 2048
+
+
+def _chunks(n: int):
+    """[(start, real, padded)].  At most ONE split: each extra chunk
+    re-pays the whole per-window bucket stage (sort, path-gather over
+    log m levels, prefix reduce, 128x doubling) — measured on the v5e,
+    a 3-way split of the G2 table DOUBLED its MSM time.  Split only
+    when padding waste is >= 25% of the padded tree (the A table:
+    10150 -> 16384 wastes 38%; split saves ~0.3 s/step at batch=128),
+    into one big pow2 half + one padded remainder."""
+    m = _next_pow2(n)
+    if m - n < max(MIN_CHUNK, m // 4):
+        return [(0, n, m)]
+    c = m // 2
+    return [(0, c, c), (c, n - c, _next_pow2(n - c))]
+
+
+def _window_sums(signs, mags, table, kind, G, m, rows):
+    """Per-window signed-bucket sums for one pow2 chunk:
+    signs/mags (32, B, m); table (m, arows) affine.
+    Returns (32, B, rows, 1) projective planes."""
+    B = signs.shape[1]
+    log_m = m.bit_length() - 1
     # doubled table [P | -P]: sign application is a gather offset, not
     # arithmetic.  Converted to PROJECTIVE rows once per call: the
     # upsweep runs the fused Pallas RCB15 fold — a measured 1.5x faster
@@ -157,7 +207,6 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
         jnp.swapaxes(table_aff_ext, 0, 1), kind), 0, 1)   # (2m, rows)
 
     br = jnp.asarray(_bitrev(m))
-    G = window_group
     assert N_WINDOWS % G == 0
 
     def group_body(_, sd):
@@ -212,15 +261,4 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     shape_g = (N_WINDOWS // G, G, B, m)
     _, w_all = jax.lax.scan(group_body, None,
                             (signs.reshape(shape_g), mags.reshape(shape_g)))
-    w_all = w_all.reshape(N_WINDOWS, B, rows, 1)        # (32, B, rows, 1)
-
-    # Horner over windows, most significant first (tiny; XLA path)
-    fn = ec_lm.padd_g1 if kind == "g1" else ec_lm.padd_g2
-
-    def horner(acc, wv):
-        acc = jax.lax.fori_loop(0, WBITS, lambda i, v: fn(v, v), acc)
-        return fn(acc, wv), None
-
-    acc0 = jnp.asarray(K.identity_plane(kind, (B,), 1))
-    acc, _ = jax.lax.scan(horner, acc0, w_all[::-1])
-    return acc
+    return w_all.reshape(N_WINDOWS, B, rows, 1)         # (32, B, rows, 1)
