@@ -67,3 +67,11 @@ def test_ptau_derived_key_matches_dev_setup_and_proves():
     proof = gprove.prove_host(pk, cs.constraints, w, r=11, s=13)
     assert gverify.verify(vk, proof, [42])
     assert not gverify.verify(vk, proof, [43])
+
+    # zkey-verify equivalents: full re-derivation + pairing self-checks
+    assert ceremony.verify_pk(pk, cs, ptau=ptau)
+    assert ceremony.verify_pk(pk, cs)            # pairing-only mode
+    bad = gsetup.ProvingKey(**{**pk.__dict__})
+    bad.beta_g1 = ec.g1_mul(999)
+    assert not ceremony.verify_pk(bad, cs)
+    assert not ceremony.verify_pk(bad, cs, ptau=ptau)

@@ -143,6 +143,46 @@ def dev_ptau(power: int, seed: bytes = b"zkfranchise-dev-setup") -> PtauData:
     )
 
 
+def verify_pk(pk, cs, ptau: PtauData | None = None,
+              phase2_seed: bytes = b"zkfranchise-dev-setup",
+              samples: int = 3, rng_seed: int = 0) -> bool:
+    """The snarkjs `zkey verify` equivalent
+    (/root/reference/circuit/circuit-compiler.sh:120,131).
+
+    With a ptau transcript: re-derives the whole proving key from the
+    powers + R1CS and compares point-for-point (the strongest check).
+    Without one: pairing self-consistency checks —
+        e(beta_g1, G2) == e(G1, beta_g2),
+        e(delta_g1, G2) == e(G1, delta_g2),
+        e(b_g1[i], G2) == e(G1, b_g2[i]) for sampled wires
+    — which bind the G1/G2 halves of the key to the same scalars."""
+    import random
+
+    from ..ops import pairing
+
+    if ptau is not None:
+        pk2, _ = pk_from_ptau(ptau, cs, phase2_seed)
+        return all(getattr(pk, f) == getattr(pk2, f) for f in
+                   ("alpha_g1", "beta_g1", "beta_g2", "delta_g1",
+                    "delta_g2", "a_g1", "b_g1", "b_g2", "k_g1", "h_g1"))
+
+    def same_scalar(p1, q2) -> bool:
+        # e(p1, G2) == e(G1, q2)  <=>  e(p1, G2) * e(-G1, q2) == 1
+        return pairing.multi_pairing_check(
+            [(p1, ec.G2_GEN), (ec.G1.neg(ec.G1_GEN), q2)])
+
+    if not same_scalar(pk.beta_g1, pk.beta_g2):
+        return False
+    if not same_scalar(pk.delta_g1, pk.delta_g2):
+        return False
+    rng = random.Random(rng_seed)
+    idx = [i for i in range(len(pk.b_g1)) if pk.b_g1[i] is not None]
+    for i in rng.sample(idx, min(samples, len(idx))):
+        if (pk.b_g2[i] is None) or not same_scalar(pk.b_g1[i], pk.b_g2[i]):
+            return False
+    return True
+
+
 def pk_from_ptau(ptau: PtauData, cs,
                  phase2_seed: bytes = b"zkfranchise-dev-setup"
                  ) -> tuple[ProvingKey, VerifyingKey]:

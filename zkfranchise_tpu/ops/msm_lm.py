@@ -121,11 +121,6 @@ def msm(scalars_plain: jnp.ndarray, table: jnp.ndarray, kind: str,
     retained upsweep levels); a single 32-window group elsewhere (CPU
     tests/dry-runs are tiny, and one group keeps the traced program 4x
     smaller)."""
-    if window_group is None:
-        if K.on_tpu():
-            window_group = max(1, min(8, 128 // scalars_plain.shape[-1]))
-        else:
-            window_group = N_WINDOWS
     rows = ec_lm.G1_ROWS if kind == "g1" else ec_lm.G2_ROWS
     arows = ec_affine.AROWS[kind]
     assert table.shape[-1] == arows, "msm expects an AFFINE table"
@@ -192,6 +187,12 @@ def _window_sums(signs, mags, table, kind, G, m, rows):
     signs/mags (32, B, m); table (m, arows) affine.
     Returns (32, B, rows, 1) projective planes."""
     B = signs.shape[1]
+    if G is None:
+        # G*B <= 128: measured optimum on the v5e — larger groups
+        # (G*B = 256/512) slow every MSM 15-35% (the bigger gather +
+        # retained-level working set thrashes HBM harder than the saved
+        # scan dispatches are worth).
+        G = max(1, min(8, 128 // B)) if K.on_tpu() else N_WINDOWS
     log_m = m.bit_length() - 1
     # doubled table [P | -P]: sign application is a gather offset, not
     # arithmetic.  Converted to PROJECTIVE rows once per call: the
