@@ -49,6 +49,13 @@ from zkfranchise_tpu.parallel.prove import ShardedProver
 N_LEVELS = int(os.environ.get("SWEEP_NLEVELS", "4"))
 BATCH = int(os.environ.get("SWEEP_BATCH", "8"))
 ITERS = int(os.environ.get("SWEEP_ITERS", "3"))
+# "full" = whole proving step; "quotient" = witness + row-sharded
+# quotient with the distributed NTT only.  The virtual-CPU sweep is
+# COMPILE-bound (each mesh shape is a fresh XLA program; the build box
+# has 2 cores), so the full pipeline over many meshes can exceed an
+# hour — quotient mode demonstrates the domain-sharded scaling in
+# minutes.
+STAGE = os.environ.get("SWEEP_STAGE", "quotient")
 
 MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]   # (data, model): 1,2,4,8 devices
 
@@ -69,11 +76,20 @@ def main():
         ndev = nd * nmod
         mesh = make_mesh(n_data=nd, n_model=nmod)
         sp = ShardedProver(circuit, pk, mesh)
-        out = sp.prove_batch_arrays(arrs, r, s)     # compile + warm
+
+        if STAGE == "quotient":
+            def step():
+                w, _ = sp._witness(arrs)
+                return sp._quotient(w)
+        else:
+            def step():
+                return sp.prove_batch_arrays(arrs, r, s)
+
+        out = step()                                # compile + warm
         jax.block_until_ready(out)
         t0 = time.time()
         for _ in range(ITERS):
-            out = sp.prove_batch_arrays(arrs, r, s)
+            out = step()
         jax.block_until_ready(out)
         dt = (time.time() - t0) / ITERS
         if base is None:
@@ -88,7 +104,7 @@ def main():
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
 
-    result = {"nlevels": N_LEVELS, "batch": BATCH,
+    result = {"nlevels": N_LEVELS, "batch": BATCH, "stage": STAGE,
               "backend": jax.default_backend(), "sweep": rows}
     (ROOT / "scaling.json").write_text(json.dumps(result, indent=1))
     print(json.dumps(result))

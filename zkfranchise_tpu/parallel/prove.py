@@ -63,7 +63,7 @@ def _shard_rows(arr, n: int, nm: int):
 def _spmv_local(R, C, F, b: int, w: jnp.ndarray) -> jnp.ndarray:
     """This chip's rows of the R1CS matvec: (b, 21, T) Montgomery."""
     gathered = w[C]                                  # (nnz, 21, T)
-    prods = lm.mont_mul(F, gathered, FR)
+    prods = K.mont_mul(F, gathered, FR)              # Pallas kernel on TPU
     seg = jax.ops.segment_sum(prods, R, num_segments=b)
     return lm.weak_norm(seg, 2)
 
