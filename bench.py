@@ -66,17 +66,11 @@ def get_or_make_inputs():
 
 
 def force(out):
-    """Force completion of a pytree of device arrays by fetching ONE
-    scalar from each leaf.  jax.block_until_ready over the axon tunnel
-    does NOT reliably wait for execution (async queue), and fetching full
-    arrays crawls through the tunnel — a dependent scalar fetch is both
-    correct and cheap."""
-    import jax
-    import numpy as np
-
-    for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "ndim"):
-            np.asarray(leaf[(0,) * leaf.ndim])
+    """See zkfranchise_tpu.utils.metrics.force — the ONLY correct way to
+    synchronize timing on this backend (block_until_ready does not wait
+    over the axon tunnel)."""
+    from zkfranchise_tpu.utils.metrics import force as _force
+    _force(out)
 
 
 def main():

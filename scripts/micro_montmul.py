@@ -60,14 +60,17 @@ def xla_lm_chain(a, b, iters):
 
 def bench(tag, fn, *args, reps=10, work=1):
     r = fn(*args)
-    jax.block_until_ready(r)
+    force(r)
     t0 = time.time()
     for _ in range(reps):
         r = fn(*args)
-    jax.block_until_ready(r)
+    force(r)
     dt = (time.time() - t0) / reps
     print(f"{tag:24s} {work/dt/1e6:9.1f} Mmul/s  ({dt*1e3:8.2f} ms)")
     return r
+
+
+from zkfranchise_tpu.utils.metrics import force
 
 
 def main():

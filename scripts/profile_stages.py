@@ -19,6 +19,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 
 
+from zkfranchise_tpu.utils.metrics import force
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,11 +43,11 @@ def main():
 
     def timeit(name, fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
+        force(out)
         t0 = time.time()
         for _ in range(ITERS):
             out = fn(*args)
-        jax.block_until_ready(out)
+        force(out)
         dt = (time.time() - t0) / ITERS
         print(f"{name:28s} {dt*1e3:10.1f} ms")
         return out

@@ -60,6 +60,9 @@ STAGE = os.environ.get("SWEEP_STAGE", "quotient")
 MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]   # (data, model): 1,2,4,8 devices
 
 
+from zkfranchise_tpu.utils.metrics import force
+
+
 def main():
     circuit = CensusCircuit(N_LEVELS)
     pk = ge._synthetic_pk(circuit.cs)
@@ -86,11 +89,11 @@ def main():
                 return sp.prove_batch_arrays(arrs, r, s)
 
         out = step()                                # compile + warm
-        jax.block_until_ready(out)
+        force(out)
         t0 = time.time()
         for _ in range(ITERS):
             out = step()
-        jax.block_until_ready(out)
+        force(out)
         dt = (time.time() - t0) / ITERS
         if base is None:
             base = dt

@@ -82,3 +82,27 @@ def test_host_e2e_prove_verify(tmp_path):
     bad = list(pub)
     bad[3] += 1  # voteHash[0] — unconstrained in-circuit, bound by QAP rows
     assert not verify(vk, proof, bad)
+
+
+def test_g2_subgroup_check():
+    """Generator multiples are in the subgroup; an on-twist point outside
+    the r-torsion exists (large twist cofactor) and is detected."""
+    assert ec.in_subgroup_g2(None)
+    assert ec.in_subgroup_g2(ec.G2_GEN)
+    assert ec.in_subgroup_g2(ec.g2_mul(12345))
+    rogue = ec.rogue_g2_point()
+    assert ec.G2.is_on_curve(rogue)
+    assert not ec.in_subgroup_g2(rogue)
+
+
+def test_rogue_pi_b_rejected():
+    """A proof whose pi_b is on the twist but outside the r-order
+    subgroup must be rejected by the verifier (parity: gnark-crypto's
+    deserialization-time subgroup check, zk_census_test.go:118)."""
+    from zkfranchise_tpu.groth16.verify import Proof, VerifyingKey, verify
+    vk = VerifyingKey(json.load(open(REF + "verification_key.json")))
+    proof = Proof(json.load(open(REF + "proof.json")))
+    signals = json.load(open(REF + "signals.json"))
+    assert verify(vk, proof, signals)
+    proof.pi_b = ec.rogue_g2_point()
+    assert not verify(vk, proof, signals)

@@ -56,6 +56,7 @@ class _StubProver:
 
     def __init__(self, fail_after_batches=None):
         self.calls = 0
+        self.sizes = []
         self.fail_after = fail_after_batches
 
     def prove_batch(self, arrs, seed=0):
@@ -63,6 +64,7 @@ class _StubProver:
             raise RuntimeError("injected crash")
         self.calls += 1
         B = arrs["address"].shape[-1]
+        self.sizes.append(B)
         proofs = [type("P", (), {"to_dict": lambda self: {"pi_a": []}})()
                   for _ in range(B)]
         pubs = [[seed, i] for i in range(B)]
@@ -113,3 +115,23 @@ def test_metrics_jsonl():
     assert lines[1]["value"] == 4
     assert lines[2]["per_second"] == 4.0
     assert m.timers["witness"] >= 0
+
+
+def test_stream_tail_ladder(tmp_path):
+    """The final partial batch runs as a pow2 ladder (11 @ batch 8 ->
+    8 + 2 + 1), never padded by repetition — a 1-voter tail must not pay
+    a full-batch MSM (r4 review weak #5)."""
+    from zkfranchise_tpu import inputs as inp
+    from zkfranchise_tpu.stream import ProofStream, _prev_pow2
+
+    assert [_prev_pow2(n) for n in (1, 2, 3, 7, 8, 37)] == \
+        [1, 2, 2, 4, 8, 32]
+    voters = inp.mock_batch(16, 11, seed=6)
+    p = _StubProver()
+    s = ProofStream(p, tmp_path / "proofs", batch_size=8)
+    assert s.run(voters) == 11
+    assert p.sizes == [8, 2, 1]
+    assert s.cursor == 11
+    done = sorted(d.name for d in (tmp_path / "proofs").iterdir()
+                  if d.is_dir())
+    assert done == [f"proof_{i:08d}" for i in range(11)]

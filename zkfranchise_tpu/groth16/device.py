@@ -50,10 +50,19 @@ def witness_stage(circuit: CensusCircuit, inputs: dict):
 
 
 def quotient_stage(arrays: dict, n: int, w: jnp.ndarray) -> jnp.ndarray:
-    """R1CS rows -> coset quotient evals, plain canonical (n, 21, B)."""
+    """R1CS rows -> coset quotient evals, plain canonical (n, 21, B).
+
+    When `arrays` has no C matrix (a zkey-driven prover: snarkjs zkeys
+    store only A and B — utils/zkey_compat.arrays_from_zkey), C-row
+    evaluations come from the on-domain identity (A.w)∘(B.w) = C.w,
+    which holds row-by-row for a satisfying witness (padding rows give
+    0∘0 = 0)."""
     az = sparse.spmv(*arrays["a"], n, w)
     bz = sparse.spmv(*arrays["b"], n, w)
-    cz = sparse.spmv(*arrays["c"], n, w)
+    if "c" in arrays:
+        cz = sparse.spmv(*arrays["c"], n, w)
+    else:
+        cz = K.mont_mul(az, bz, FR)
     a_cos = ntt.coset_evals_from_domain_evals(az)
     b_cos = ntt.coset_evals_from_domain_evals(bz)
     c_cos = ntt.coset_evals_from_domain_evals(cz)
@@ -109,13 +118,19 @@ class DeviceProver:
     """Holds device-resident proving-key tables + the jitted prove stages."""
 
     def __init__(self, circuit: CensusCircuit, pk: ProvingKey,
-                 compile_friendly: bool = False):
+                 compile_friendly: bool = False, arrays: dict | None = None):
         """compile_friendly is accepted for API compatibility (the
-        limb-major MSM is compile-friendly by construction)."""
+        limb-major MSM is compile-friendly by construction).
+
+        arrays: optional external sparse R1CS arrays (e.g. from an
+        ingested zkey's coefficient section — zkey_compat.arrays_from_
+        zkey); defaults to the circuit's own export.  An arrays dict
+        without a C matrix routes the quotient through the AB-only
+        identity path (see quotient_stage)."""
         self.circuit = circuit
         self.pk_meta = (pk.n_vars, pk.n_public, pk.domain)
         cs = circuit.cs
-        self.arrays = cs.export_arrays(
+        self.arrays = arrays if arrays is not None else cs.export_arrays(
             extra_rows=qap.binding_rows(cs.num_public))
         assert self.arrays["num_constraints"] <= pk.domain
 

@@ -107,7 +107,11 @@ def verify(vk: VerifyingKey, proof: Proof, public_signals: list) -> bool:
         if not ec.G1.is_on_curve(pt):
             return False
     for pt in (proof.pi_b, vk.beta_2, vk.gamma_2, vk.delta_2):
-        if not ec.G2.is_on_curve(pt):
+        # on-curve is not enough for G2: the twist's cofactor is large,
+        # so points outside the r-torsion must be rejected before the
+        # pairing (gnark-crypto does this on deserialization; reference
+        # call path /root/reference/zk_census_test.go:118)
+        if not (ec.G2.is_on_curve(pt) and ec.in_subgroup_g2(pt)):
             return False
     vk_x = vk.ic[0]
     for s, icp in zip(signals, vk.ic[1:]):

@@ -150,6 +150,74 @@ G2 = _Group(
 )
 
 
+def _mul_nored(k: int, a, group):
+    """double-and-add WITHOUT reducing k mod r — required for order
+    checks, where G.mul's `k %= r` would turn [r]P into [0]P."""
+    acc = None
+    while k:
+        if k & 1:
+            acc = group.add(acc, a)
+        a = group.double(a)
+        k >>= 1
+    return acc
+
+
+def in_subgroup_g2(pt) -> bool:
+    """True iff pt is in the order-r subgroup of the twist.  BN254's
+    twist E'(Fq2) has a large cofactor (order = r * c2, c2 ~ p), so
+    on-curve does NOT imply order r; rogue points outside the r-torsion
+    must not reach the pairing.  gnark-crypto enforces this on G2
+    deserialization (reference call path
+    /root/reference/zk_census_test.go:118)."""
+    if pt is None:
+        return True
+    return _mul_nored(R_ORDER, pt, G2) is None
+
+
+def fq2_sqrt(a):
+    """Square root in Fq2 = Fq[u]/(u^2+1) (q = 3 mod 4), or None.
+    Complex-method: via the norm a0^2 + a1^2."""
+    def sqrt_fq(x):
+        r = pow(x % Q, (Q + 1) // 4, Q)
+        return r if r * r % Q == x % Q else None
+
+    a0, a1 = a[0] % Q, a[1] % Q
+    if a1 == 0:
+        r = sqrt_fq(a0)
+        if r is not None:
+            return (r, 0)
+        r = sqrt_fq(-a0 % Q)
+        return None if r is None else (0, r)
+    s = sqrt_fq((a0 * a0 + a1 * a1) % Q)
+    if s is None:
+        return None
+    inv2 = ff.inv_mod(2, Q)
+    delta = (a0 + s) * inv2 % Q
+    x0 = sqrt_fq(delta)
+    if x0 is None:
+        x0 = sqrt_fq((a0 - s) * inv2 % Q)
+        if x0 is None:
+            return None
+    x1 = a1 * ff.inv_mod(2 * x0 % Q, Q) % Q
+    out = (x0, x1)
+    return out if fq2_sqr(out) == (a0, a1) else None
+
+
+def rogue_g2_point():
+    """An on-twist point OUTSIDE the order-r subgroup (for negative
+    tests of the subgroup check): try-and-increment over x = (i, 1)."""
+    for i in range(1, 1000):
+        x = (i, 1)
+        y = fq2_sqrt(fq2_add(fq2_mul(fq2_sqr(x), x), B2))
+        if y is None:
+            continue
+        pt = (x, y)
+        assert G2.is_on_curve(pt)
+        if not in_subgroup_g2(pt):
+            return pt
+    raise AssertionError("no rogue point found (cofactor 1?)")
+
+
 def g1_mul(k: int):
     return G1.mul(k, G1_GEN)
 

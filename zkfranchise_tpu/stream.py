@@ -47,31 +47,43 @@ class ProofStream:
         tmp.replace(self._ckpt_path)
 
     def run(self, voters: list, seed: int = 0) -> int:
-        """Proves all voters from the checkpointed cursor onward; pads the
-        final partial batch by repetition (static shapes for XLA).
+        """Proves all voters from the checkpointed cursor onward.  XLA
+        needs static shapes, so the final partial batch is proven as a
+        LADDER of power-of-two sub-batches (37 -> 32 + 4 + 1) instead of
+        padding to batch_size by repetition — a 1-voter tail costs one
+        1-lane step, not a full-batch MSM.  Each ladder size compiles
+        once and lands in the persistent JAX cache, so a long-running
+        stream pays at most log2(batch_size) extra compiles ever.
         Returns the number of proofs produced this call."""
-        n_levels = self.prover.circuit.n_levels
         start = self.cursor
         produced = 0
-        for base in range(start, len(voters), self.batch_size):
-            chunk = voters[base:base + self.batch_size]
-            real = len(chunk)
-            while len(chunk) < self.batch_size:
-                chunk.append(chunk[-1])
-            arrs = inp.batch_to_arrays(chunk, n_levels)
-            t0 = time.perf_counter()
-            with self.metrics.stage("prove_batch", base=base):
-                proofs, pubs = self.prover.prove_batch(
-                    arrs, seed=seed + base)
-            self.metrics.throughput("proofs", real,
-                                    time.perf_counter() - t0)
-            for i in range(real):
-                d = self.out_dir / f"proof_{base + i:08d}"
-                d.mkdir(exist_ok=True)
-                (d / "proof.json").write_text(
-                    json.dumps(proofs[i].to_dict()))
-                (d / "signals.json").write_text(
-                    json.dumps([str(x) for x in pubs[i]]))
-            produced += real
-            self._save_cursor(base + real)
+        base = start
+        n = len(voters)
+        while base < n:
+            size = self.batch_size
+            if n - base < size:                 # tail: pow2 ladder
+                size = _prev_pow2(n - base)
+            produced += self._prove_slice(voters, base, size, seed)
+            base += size
         return produced
+
+    def _prove_slice(self, voters, base, size, seed) -> int:
+        arrs = inp.batch_to_arrays(voters[base:base + size],
+                                   self.prover.circuit.n_levels)
+        t0 = time.perf_counter()
+        with self.metrics.stage("prove_batch", base=base, batch=size):
+            proofs, pubs = self.prover.prove_batch(arrs, seed=seed + base)
+        self.metrics.throughput("proofs", size, time.perf_counter() - t0)
+        for i in range(size):
+            d = self.out_dir / f"proof_{base + i:08d}"
+            d.mkdir(exist_ok=True)
+            (d / "proof.json").write_text(json.dumps(proofs[i].to_dict()))
+            (d / "signals.json").write_text(
+                json.dumps([str(x) for x in pubs[i]]))
+        self._save_cursor(base + size)
+        return size
+
+
+def _prev_pow2(n: int) -> int:
+    """Largest power of two <= n (n >= 1)."""
+    return 1 << (n.bit_length() - 1)

@@ -60,3 +60,36 @@ def jax_trace(log_dir: str | None):
     import jax
     with jax.profiler.trace(log_dir):
         yield
+
+
+def force(out) -> None:
+    """Force completion of a pytree of device arrays by fetching ONE
+    scalar from each leaf.
+
+    TIMING HAZARD: on this repo's axon-tunneled TPU backend,
+    jax.block_until_ready does NOT reliably wait for execution (it can
+    return dispatch-only times — 0.1 ms for 60+ ms of device work), and
+    fetching full arrays crawls through the tunnel.  A dependent scalar
+    fetch is both correct and cheap — every timing loop (bench.py,
+    scripts/profile_*.py, scripts/scaling_sweep.py) must synchronize
+    through this function, never through block_until_ready.
+    """
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+
+@contextlib.contextmanager
+def device_timer(store: dict, name: str, out_ref: list):
+    """Context manager that times a device computation honestly: caller
+    appends outputs to out_ref; exit forces them before reading the
+    clock (see force())."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        force(out_ref)
+        store[name] = store.get(name, 0.0) + time.perf_counter() - t0

@@ -15,10 +15,11 @@ Groth16 .zkey sections: 1 prover-type, 2 header (q, r, nVars, nPublic,
 domainSize, alpha/beta/gamma/delta points), 3 IC, 4 coefficient map,
 5 A points, 6 B1, 7 B2, 8 C, 9 H.
 
-Note on the coefficient section: it maps (matrix, constraint, signal) to
-coefficients in the *producer's* witness ordering.  Keys exported here use
-this framework's canonical layout (models/census.py docstring); ingesting a
-circom-produced zkey therefore also requires that circuit's own ordering.
+The coefficient section maps (matrix, constraint, signal) to coefficients
+in the *producer's* witness ordering; utils/zkey_compat.py adapts between
+producer orderings (e.g. circom's component-instantiation numbering) and
+this framework's canonical layout, and turns a parsed zkey into prover
+inputs (pk_from_zkey / arrays_from_zkey).
 """
 from __future__ import annotations
 
