@@ -38,6 +38,17 @@ def get_or_make_setup(circuit):
         pk = gsetup.ProvingKey.load(pk_path)
         vk = VerifyingKey(json.load(open(vk_path)))
         return pk, vk
+    zkey_path = d / "proving_key.zkey"
+    if zkey_path.exists() and vk_path.exists():
+        # self-exported snarkjs-container key (dev/160 ships only the
+        # .zkey): ingest through the interop path, cache as pkl
+        from zkfranchise_tpu.utils import serialize, zkey_compat
+        t0 = time.time()
+        pk, _vk = zkey_compat.pk_from_zkey(
+            serialize.read_zkey(zkey_path.read_bytes()))
+        print(f"# zkey ingested in {time.time()-t0:.0f}s", file=sys.stderr)
+        pk.save(pk_path)
+        return pk, VerifyingKey(json.load(open(vk_path)))
     t0 = time.time()
     pk, vk = gsetup.dev_setup(circuit.cs)
     pk.save(pk_path)

@@ -31,14 +31,19 @@ NL = lm.N_LIMBS
 
 
 def timeit(name, work, fn, *args, reps=3):
-    out = fn(*args)
-    force(out)
-    t0 = time.time()
-    for _ in range(reps):
+    try:
         out = fn(*args)
         force(out)
-    dt = (time.time() - t0) / reps
-    print(f"{name:44s} {dt*1e3:9.2f} ms   {dt/work*1e9:7.2f} ns/unit")
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+            force(out)
+        dt = (time.time() - t0) / reps
+    except Exception as e:
+        print(f"{name:44s} FAILED: {str(e)[:120]}", flush=True)
+        return None
+    print(f"{name:44s} {dt*1e3:9.2f} ms   {dt/work*1e9:7.2f} ns/unit",
+          flush=True)
     return dt
 
 
@@ -144,10 +149,12 @@ def main():
     timeit("mm 2D t=512 single", T, mm2d, a2, b2, 512, 1)
     timeit("mm 2D t=2048 single", T, mm2d, a2, b2, 2048, 1)
     timeit("mm 2D t=8192 single", T, mm2d, a2, b2, 8192, 1)
+    timeit("mm 2D t=32768 single", T, mm2d, a2, b2, 32768, 1)
+    timeit("mm 2D t=512 chain2 (per-mul)", 2 * T, mm2d, a2, b2, 512, 2)
     timeit("mm 2D t=512 chain8 (per-mul)", 8 * T, mm2d, a2, b2, 512, 8)
+    timeit("mm 2D t=2048 chain8 (per-mul)", 8 * T, mm2d, a2, b2, 2048, 8)
     timeit("mm 3D blk=8 t=512 (K.mont_mul geom)", T, mm3d, a3, b3, 512, 8)
     timeit("mm 3D blk=1 t=512", T, mm3d, a3, b3, 512, 1)
-    timeit("mm 3D blk=128 t=512", T, mm3d, a3, b3, 512, 128)
     timeit("mm 3D blk=1 t=8192", T, mm3d, a3, b3, 8192, 1)
     timeit("K.mont_mul (128,21,8192)", T, jax.jit(
         lambda u, v: K.mont_mul(u, v, lm.FQ)), a3, b3)

@@ -84,6 +84,15 @@ def main():
             def step():
                 w, _ = sp._witness(arrs)
                 return sp._quotient(w)
+        elif STAGE == "msm":
+            # the 95%-of-step stage (r4 bench): model-sharded Pippenger
+            # over the A table with all_gather + tree-reduce combine
+            wa = jnp.asarray(rng.integers(
+                0, 1 << 13, (sp.a_tab.shape[0], lm.N_LIMBS, BATCH),
+                dtype=np.int32))
+
+            def step():
+                return sp._msm_g1(wa, sp.a_tab)
         else:
             def step():
                 return sp.prove_batch_arrays(arrs, r, s)
@@ -108,9 +117,61 @@ def main():
         print(json.dumps(rows[-1]), file=sys.stderr)
 
     result = {"nlevels": N_LEVELS, "batch": BATCH, "stage": STAGE,
-              "backend": jax.default_backend(), "sweep": rows}
+              "backend": jax.default_backend(), "sweep": rows,
+              "caveat": (
+                  "all virtual CPU devices share the SAME 2 physical "
+                  "cores, so wall-clock cannot speed up with device "
+                  "count — collectives (all_to_all / all_gather) only "
+                  "ADD serialized copy work here.  The sweep's evidence "
+                  "is (a) every mesh shape compiles and runs the real "
+                  "sharded programs and (b) the communication-volume "
+                  "model below, which is what determines scaling on a "
+                  "real ICI-connected slice."),
+              "comm_model": comm_model(circuit, pk, BATCH)}
     (ROOT / "scaling.json").write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
+
+
+def comm_model(circuit, pk, batch):
+    """Per-chip collective bytes per proving step vs on-chip work, as a
+    function of the model-axis size nm (data-axis members exchange
+    nothing during a step).  v5e reference bandwidths: ~819 GB/s HBM,
+    ~45 GB/s/link ICI (1.6 Tbit/s aggregate over 4 links)."""
+    n = pk.domain
+    rows_g1, rows_g2 = 63, 126
+    elem = 21 * 4                               # one Fr/Fq limb plane col
+    msm_tables = {"A": pk.n_vars + 1, "B1+B2": None, "C": None}
+    nz = sum(1 for p in pk.b_g1 if p is not None)
+    msm_tables["B1+B2"] = nz + 1
+    msm_tables["C"] = (pk.n_vars - pk.n_public - 1) + n + 1
+    out = {"per_chip_bytes_per_step": {}, "notes": {}}
+    for nm in (2, 4, 8):
+        # MSM: each chip MSMs its table shard then all_gathers the
+        # (B, rows, 1) partials over 'model' and tree-reduces locally
+        msm_bytes = batch * 4 * (nm - 1) * (
+            rows_g1 * 3 + rows_g2)              # A, B1, C g1 + B2 g2
+        # quotient: 3 signals x (iNTT + forward coset NTT), each
+        # transform doing TWO all_to_all transposes of this chip's
+        # (n/nm, 21, B) panel (ntt_dist.py:145,150,172,175); per
+        # all_to_all a chip sends and receives (nm-1)/nm of its panel
+        ntt_bytes = 3 * 2 * 2 * 2 * (n // nm) * elem * batch * (nm - 1) // nm
+        out["per_chip_bytes_per_step"][f"model={nm}"] = {
+            "msm_all_gather": msm_bytes,
+            "ntt_all_to_all": ntt_bytes,
+            "total": msm_bytes + ntt_bytes,
+        }
+    # on-chip MSM work for comparison: bytes the upsweep streams per step
+    lane_adds = 32 * sum(v for v in msm_tables.values()) * batch
+    out["notes"]["msm_lane_adds_per_step"] = lane_adds
+    out["notes"]["msm_tables"] = msm_tables
+    out["notes"]["interpretation"] = (
+        "MSM collective volume is O(batch * rows * nm) per step — KB, "
+        "vs tens of GB of on-chip HBM streaming: MSM sharding is "
+        "compute-bound and should scale ~linearly on ICI.  The NTT "
+        "all_to_all moves the full domain panel (~MB at nlevels=16, "
+        "~2 orders below ICI budget per step); domain sharding is also "
+        "compute-bound at these shapes.")
+    return out
 
 
 if __name__ == "__main__":

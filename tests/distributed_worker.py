@@ -1,0 +1,109 @@
+"""Worker process for the 2-process jax.distributed CPU test.
+
+Usage: python distributed_worker.py <coordinator_port> <process_id> <out>
+
+Each of the 2 processes hosts 4 virtual CPU devices (8 global), builds
+the global (data=2 x model=4) mesh, runs ONE fused sharded proving step
+at nlevels=4 over a 4-voter batch (2 voters addressable per process),
+verifies ITS local proofs against the dev verification key, and writes a
+JSON result file the parent test asserts on.
+"""
+import json
+import os
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+# platform/device env is set by the SPAWNING test (_worker_env) — the
+# image's sitecustomize imports jax before this line runs
+assert os.environ.get("JAX_PLATFORMS") == "cpu", "spawn via the test"
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkfranchise_tpu import inputs as inp
+from zkfranchise_tpu.groth16 import setup as gsetup
+from zkfranchise_tpu.groth16 import verify as gverify
+from zkfranchise_tpu.models.census import CensusCircuit
+from zkfranchise_tpu.ops import ec_lm, lm
+from zkfranchise_tpu.parallel import runtime
+from zkfranchise_tpu.parallel.prove import ShardedProver
+
+NL = 4
+B = 4
+
+
+def main():
+    assert runtime.init_distributed(f"localhost:{port}", 2, pid)
+    info = runtime.process_info()
+    assert info["process_count"] == 2, info
+    assert info["global_devices"] == 8, info
+    mesh = runtime.global_mesh(n_model=4)
+
+    circuit = CensusCircuit(NL)
+    art = ROOT / "artifacts" / "zkCensus" / "dev" / str(NL)
+    pk = gsetup.ProvingKey.load(art / "proving_key.pkl")
+    vk = gverify.VerifyingKey(json.load(open(art / "verification_key.json")))
+    prover = ShardedProver(circuit, pk, mesh)
+
+    arrs = inp.batch_to_arrays(inp.mock_batch(NL, B, seed=3), NL)
+    rng = np.random.default_rng(7)
+    r_np = np.asarray(lm.ints_to_lm(
+        [int(x) for x in rng.integers(1, 2**62, size=B)]))
+    s_np = np.asarray(lm.ints_to_lm(
+        [int(x) for x in rng.integers(1, 2**62, size=B)]))
+
+    # every process holds the same full-batch numpy; shard it into
+    # global arrays along the mesh axes the fused program expects
+    from zkfranchise_tpu.parallel.prove import _IN_KEYS, _in_spec
+    g_arrs = {k: runtime.make_global(np.asarray(arrs[k]), mesh, _in_spec(k))
+              for k in _IN_KEYS}
+    from jax.sharding import PartitionSpec as P
+    r_g = runtime.make_global(r_np, mesh, P(None, "data"))
+    s_g = runtime.make_global(s_np, mesh, P(None, "data"))
+
+    pa, pb, pc, publics = prover.prove_fused(g_arrs, r_g, s_g)
+
+    # each process reads ONLY its addressable voter lanes
+    def local_lanes(garr):
+        shards = sorted(garr.addressable_shards,
+                        key=lambda s: s.index[-1].start or 0)
+        cols = [int(s.index[-1].start or 0) for s in shards]
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=-1), cols[0], garr.shape[-1]
+
+    pa_l, col0, _ = local_lanes(pa)
+    pb_l, _, _ = local_lanes(pb)
+    pc_l, _, _ = local_lanes(pc)
+    pub_l, _, _ = local_lanes(publics)
+
+    a_aff = ec_lm.g1_plane_to_affine(pa_l)
+    b_aff = ec_lm.g2_plane_to_affine(pb_l)
+    c_aff = ec_lm.g1_plane_to_affine(pc_l)
+    nloc = pa_l.shape[-1]
+    flat = lm.lm_to_ints(pub_l)                    # signal-major
+    npub = pub_l.shape[0]
+    ok = []
+    for j in range(nloc):
+        proof = gverify.Proof({
+            "pi_a": [str(a_aff[j][0]), str(a_aff[j][1]), "1"],
+            "pi_b": [[str(b_aff[j][0][0]), str(b_aff[j][0][1])],
+                     [str(b_aff[j][1][0]), str(b_aff[j][1][1])],
+                     ["1", "0"]],
+            "pi_c": [str(c_aff[j][0]), str(c_aff[j][1]), "1"]})
+        signals = [flat[i * nloc + j] for i in range(npub)]
+        ok.append(bool(gverify.verify(vk, proof, signals)))
+
+    json.dump({"process": pid, "first_voter": col0, "n_local": nloc,
+               "verified": ok}, open(out_path, "w"))
+    print(f"worker {pid}: voters {col0}..{col0 + nloc - 1} verified={ok}")
+
+
+if __name__ == "__main__":
+    main()

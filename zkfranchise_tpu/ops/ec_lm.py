@@ -94,27 +94,31 @@ def _mul_stack_fq(lhs, rhs, fs, b3):
 
 def _mul_stack_fq2(lhs, rhs, fs, b3):
     """lhs/rhs: list of (..., 42, T) Fq2 planes -> list of Fq2 products.
-    Schoolbook: each product is 4 Fq muls; all 4*S go in one call.
+    Schoolbook with LAZY REDUCTION: 4 wide products but only 2 Montgomery
+    reductions per Fq2 product (the component sums happen on the wide
+    column form, pre-reduce) — ~30% fewer mul-ops than 4 full mont_muls.
 
-    The re = a0b0 - a1b1 subtraction uses the TIGHT spread constant
-    sub_d1 (value < 2^256): the subtrahend is a single Montgomery output
-    (< 2^255), and the smaller constant keeps both product components
-    < 2^256 — so sums/subtrahends built from Fq2 products downstream stay
-    inside sub_d's 2^257 domination budget.  (Using sub_d here pushed re
-    to ~2^257.1, overflowing that budget and yielding negative limbs that
-    silently break mont_reduce's carry trick — the round-3 G2 MSM bug.)"""
+      re = reduce( a0*b0 + a1*(D2 - b1) )        (D2 - b1 ≡ -b1 mod p)
+      im = reduce( a0*b1 + a1*b0 )
+
+    Budgets: operands are < 2^258.6 (g2 padd intermediates), so the
+    negation uses sub_d2 (dominates < 2^259); T0 for the reduce is then
+    < 2^518, far inside mont_reduce's R*2^257 carry-trick budget, and
+    both output components come out < p + 2^246 < 2^255 — TIGHTER than
+    the old sub_d1 formulation (the round-3 G2 bug class gets more
+    margin, not less).  The raw wide columns are weak-normalized before
+    pairwise summation (two raw wides would overflow int32)."""
     S = len(lhs)
-    T = lhs[0].shape[-1]
     a = jnp.stack(lhs, axis=-3)          # (..., S, 42, T)
     b = jnp.stack(rhs, axis=-3)
     a0, a1 = a[..., :NL, :], a[..., NL:, :]
     b0, b1 = b[..., :NL, :], b[..., NL:, :]
+    nb1 = lm.weak_norm(jnp.asarray(fs.sub_d2) - b1)
     big_l = jnp.stack([a0, a1, a0, a1], axis=-3)   # (..., S, 4, 21, T)
-    big_r = jnp.stack([b0, b1, b1, b0], axis=-3)
-    v = lm.mont_mul(big_l, big_r, fs)
-    re = lm.weak_norm(v[..., 0, :, :] +
-                      (jnp.asarray(fs.sub_d1) - v[..., 1, :, :]))
-    im = lm.weak_norm(v[..., 2, :, :] + v[..., 3, :, :])
+    big_r = jnp.stack([b0, nb1, b1, b0], axis=-3)
+    w = lm.weak_norm(lm.wide_mul(big_l, big_r), 2)  # (..., S, 4, 43, T)
+    re = lm.mont_reduce(w[..., 0, :, :] + w[..., 1, :, :], fs)
+    im = lm.mont_reduce(w[..., 2, :, :] + w[..., 3, :, :], fs)
     out = jnp.concatenate([re, im], axis=-2)       # (..., S, 42, T)
     return [out[..., i, :, :] for i in range(S)]
 
@@ -158,6 +162,67 @@ def _padd(x1, y1, z1, x2, y2, z2, mul_stack, fsub_n, b3, fs):
     y3o = wn(q[2] + q[3])
     z3o = wn(q[4] + q[5])
     return x3o, y3o, z3o
+
+
+def _padd_aa(x1, y1, x2, y2, mul_stack, fsub_n, b3, fs):
+    """RCB15 Algorithm 7 (a = 0) specialized to Z1 = Z2 = 1 (two AFFINE
+    inputs): 10 products instead of 12, and the Z-row reads disappear.
+    Identity inputs are NOT covered (affine planes carry them as a mask
+    row — callers select); doubling and P + (-P) are exact.
+
+    Budget note: every operand here is <= the corresponding operand of
+    the general _padd (affine coords are exact canonical < p; t4/y3
+    are one-add sums of canonical values, weak-normalized), so the
+    invariants in ops/lm.py's amplitude rules carry over unchanged."""
+    wn = lm.weak_norm
+    t0, t1, pa = mul_stack([x1, y1, wn(x1 + y1)],
+                           [x2, y2, wn(x2 + y2)], fs, b3)
+    t3 = fsub_n(pa, wn(t0 + t1), fs)                # X1Y2 + X2Y1
+    t4 = wn(y1 + y2)                                # Y1Z2 + Y2Z1
+    y3 = wn(x1 + x2)                                # X1Z2 + X2Z1
+    x3 = wn(t0 + t0 + t0)
+    b3b = jnp.broadcast_to(b3, t1.shape)
+    (y3b,) = mul_stack([y3], [b3b], fs, b3)
+    z3 = wn(t1 + b3b)                               # Z1Z2 = 1: t2b = b3
+    t1 = fsub_n(t1, b3b, fs)
+    q = mul_stack([t3, t4, y3b, t1, z3, x3],
+                  [t1, y3b, x3, z3, t4, t3], fs, b3)
+    return fsub_n(q[0], q[1], fs), wn(q[2] + q[3]), wn(q[4] + q[5])
+
+
+def _aa_split(p, k):
+    """(..., 2k*21+1, T) affine plane -> (x, y, inf_row)."""
+    return (p[..., :k * NL, :], p[..., k * NL:2 * k * NL, :],
+            p[..., 2 * k * NL:, :])
+
+
+def padd_aa(p, q, kind, fs=lm.FQ, b31=None, b32=None):
+    """p, q: (..., arows, T) AFFINE planes (ec_affine layout: exact
+    canonical coords + inf mask row) -> (..., rows, T) PROJECTIVE plane.
+    Complete: identity lanes resolved by mask selection."""
+    k = 1 if kind == "g1" else 2
+    if k == 1:
+        b3 = jnp.asarray(b3_g1()) if b31 is None else b31
+        mul_stack, fsub = _mul_stack_fq, _fq_sub_n
+    else:
+        b3 = jnp.asarray(b3_g2()) if b32 is None else b32
+        mul_stack, fsub = _mul_stack_fq2, _fq2_sub_n
+    x1, y1, i1 = _aa_split(p, k)
+    x2, y2, i2 = _aa_split(q, k)
+    x3, y3, z3 = _padd_aa(x1, y1, x2, y2, mul_stack, fsub, b3, fs)
+
+    one = jnp.broadcast_to(jnp.asarray(fs.one_mont),
+                           (*y1.shape[:-2], NL, y1.shape[-1]))
+    onek = one if k == 1 else jnp.concatenate(
+        [one, jnp.zeros_like(one)], axis=-2)
+    inf1, inf2 = (i1 == 1), (i2 == 1)
+    both = inf1 & inf2
+    xo = jnp.where(both, 0, jnp.where(inf1, x2, jnp.where(inf2, x1, x3)))
+    yo = jnp.where(both, onek,
+                   jnp.where(inf1, y2, jnp.where(inf2, y1, y3)))
+    zo = jnp.where(both, 0,
+                   jnp.where(inf1 | inf2, onek, z3))
+    return jnp.concatenate([xo, yo, zo], axis=-2)
 
 
 def _g1_coords(p):

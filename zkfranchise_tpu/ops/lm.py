@@ -109,6 +109,13 @@ class FieldSpec(NamedTuple):
                                  # single Montgomery outputs — keeps Fq2
                                  # product components < 2^256 so they fit
                                  # the 2^257 sub_d budget downstream
+    sub_d2: np.ndarray           # (21, 1) WIDE spread multiple (b < 2^259):
+                                 # dominates any mul-operand value
+                                 # (< 2^258.6), for the lazy-reduction
+                                 # Fq2 path's pre-product negation
+                                 # re = reduce(a0*b0 + a1*(D2 - b1));
+                                 # T0 < 2^518 << R*2^257, the
+                                 # mont_reduce carry-trick budget
     r_mod_p: int
     r2_limbs: np.ndarray         # (21, 1): R^2 mod p
     one_mont: np.ndarray         # (21, 1): R mod p
@@ -130,6 +137,7 @@ def make_field(p: int) -> FieldSpec:
         nprime_limbs=col(nprime),
         sub_d=_spread_sub_const(p, 257)[:, None],
         sub_d1=_spread_sub_const(p, 255)[:, None],
+        sub_d2=_spread_sub_const(p, 259)[:, None],
         r_mod_p=r % p,
         r2_limbs=col(r * r % p),
         one_mont=col(r % p),
@@ -151,9 +159,10 @@ class KernelField(NamedTuple):
     sub_d: jnp.ndarray
     one_mont: jnp.ndarray
     sub_d1: jnp.ndarray
+    sub_d2: jnp.ndarray
 
 
-N_CONST_ROWS = 5
+N_CONST_ROWS = 6
 
 
 def pack_consts(fs: FieldSpec, tile: int = 1) -> np.ndarray:
@@ -161,8 +170,9 @@ def pack_consts(fs: FieldSpec, tile: int = 1) -> np.ndarray:
     materialized at full lane width so in-kernel per-limb slices are real
     loads, not broadcasts."""
     c = np.concatenate(
-        [fs.p_limbs, fs.nprime_limbs, fs.sub_d, fs.one_mont, fs.sub_d1],
-        axis=0).astype(np.int32)                       # (105, 1)
+        [fs.p_limbs, fs.nprime_limbs, fs.sub_d, fs.one_mont, fs.sub_d1,
+         fs.sub_d2],
+        axis=0).astype(np.int32)                       # (126, 1)
     return np.broadcast_to(c, (N_CONST_ROWS * N_LIMBS, tile)).copy()
 
 
@@ -172,7 +182,8 @@ def unpack_consts(c: jnp.ndarray) -> KernelField:
                        nprime_limbs=c[..., 1 * n:2 * n, :],
                        sub_d=c[..., 2 * n:3 * n, :],
                        one_mont=c[..., 3 * n:4 * n, :],
-                       sub_d1=c[..., 4 * n:5 * n, :])
+                       sub_d1=c[..., 4 * n:5 * n, :],
+                       sub_d2=c[..., 5 * n:6 * n, :])
 
 
 # ---------------------------------------------------------------------------

@@ -195,17 +195,17 @@ def _window_sums(signs, mags, table, kind, G, m, rows):
         G = max(1, min(8, 128 // B)) if K.on_tpu() else N_WINDOWS
     log_m = m.bit_length() - 1
     # doubled table [P | -P]: sign application is a gather offset, not
-    # arithmetic.  Converted to PROJECTIVE rows once per call: the
-    # upsweep runs the fused Pallas RCB15 fold — a measured 1.5x faster
-    # end-to-end than the batch-affine fold (ops/ec_affine.py), whose
-    # ~15 separate XLA passes per level are HBM/dispatch-bound even
-    # though its arithmetic is cheaper.
-    table_aff_ext = jnp.concatenate(
+    # arithmetic.  The gather and the sum tree's LEVEL 0 stay AFFINE:
+    # the fused aff+aff->projective kernel (K.fold_padd_aa, RCB15 with
+    # Z1=Z2=1) does 10 products instead of 12 on 43-row reads instead
+    # of 63 — and level 0 is half of all upsweep adds.  Levels >= 1 run
+    # the projective RCB15 fold (still measured faster end-to-end than
+    # the all-affine batch-inversion fold of ops/ec_affine.py, whose
+    # ~15 separate XLA passes per level are HBM/dispatch-bound).
+    table_ext = jnp.concatenate(
         [table, jnp.swapaxes(
             ec_affine.neg_affine(jnp.swapaxes(table, 0, 1), kind), 0, 1)],
-        axis=0)
-    table_ext = jnp.swapaxes(ec_affine.to_projective(
-        jnp.swapaxes(table_aff_ext, 0, 1), kind), 0, 1)   # (2m, rows)
+        axis=0)                                           # (2m, arows)
 
     br = jnp.asarray(_bitrev(m))
     assert N_WINDOWS % G == 0
@@ -222,11 +222,17 @@ def _window_sums(signs, mags, table, kind, G, m, rows):
         perm = order[..., br]                           # fold-order gather
         sg_fold = jnp.take_along_axis(sg, perm, axis=-1)
         idx = (perm + m * sg_fold).reshape(G * B, m)    # signed: 2nd half
-        pts = table_ext[idx]                            # (G*B, m, rows)
-        x = jnp.swapaxes(pts, -1, -2)                   # (G*B, rows, m)
+        pts = table_ext[idx]                            # (G*B, m, arows)
+        x = jnp.swapaxes(pts, -1, -2)                   # (G*B, arows, m)
 
-        # upsweep (levels[l]: block sums of size 2^l, fold-ordered)
+        # upsweep (levels[l]: block sums of size 2^l, fold-ordered);
+        # level 0 is affine (path-gather converts its nodes on the fly)
         levels = [x]
+        if x.shape[-1] > 1:
+            x = K.fold_padd_aa(x, kind)                 # -> projective
+        else:
+            x = ec_affine.to_projective(x, kind)
+        levels.append(x)
         while x.shape[-1] > 1:
             x = K.fold_padd(x, kind)
             levels.append(x)
@@ -248,6 +254,8 @@ def _window_sums(signs, mags, table, kind, G, m, rows):
             src = _bitrev_traced(blk, log_m - lvl)      # fold-order index
             node = jnp.take_along_axis(
                 levels[lvl], src[:, None, :], axis=-1)  # (G*B, rows, 128)
+            if lvl == 0:                    # level 0 is stored affine
+                node = ec_affine.to_projective(node, kind)
             added = K.padd(acc, node, kind)
             acc = jnp.where((take == 1)[:, None, :], added, acc)
             offset = offset + (take << lvl)

@@ -223,6 +223,103 @@ class ShardedProver:
             (P("data"), P("data"), P("data"), P("data"), rsspec, rsspec),
             (P(None, "data"), P(None, "data"), P(None, "data")))
 
+    def _build_fused(self):
+        """One jitted shard_map for the WHOLE proving step (witness ->
+        quotient -> MSMs -> assemble).  The per-stage jits above keep the
+        stage glue (concat / b_nz gather / padding) in eager host code,
+        which is fine single-process but illegal across processes (eager
+        ops on non-fully-addressable global arrays).  Multi-process
+        proving and the driver dryrun use this fused program instead."""
+        circuit = self.circuit
+        arrays = self.arrays
+        n = self.pk_meta[2]
+        npub = self.pk_meta[1]
+        nm = self.n_model
+        mesh = self.mesh
+        alpha, beta1, beta2 = self.alpha, self.beta1, self.beta2
+        b_nz = jnp.asarray(self.b_nz)
+        na, nb, nc = (self.a_tab.shape[0], self.b1_tab.shape[0],
+                      self.c_tab.shape[0])
+        dist_ntt = self._dist_ntt
+        if dist_ntt:
+            plan = self._ntt_plan
+            brows = n // nm
+
+        def pad0(s, total):
+            return jnp.concatenate(
+                [s, jnp.zeros((total - s.shape[0], N_LIMBS, s.shape[-1]),
+                              jnp.int32)], axis=0)
+
+        def fused(inputs, r_plain, s_plain, a_tab, b1_tab, b2_tab, c_tab,
+                  *row_shards):
+            w, w_plain = witness_stage(circuit, inputs)
+            if dist_ntt:
+                (Ra, Ca, Fa, Rb, Cb, Fb, Rc, Cc, Fc) = row_shards
+                az = _spmv_local(Ra[0], Ca[0], Fa[0], brows, w)
+                bz = _spmv_local(Rb[0], Cb[0], Fb[0], brows, w)
+                cz = _spmv_local(Rc[0], Cc[0], Fc[0], brows, w)
+                a_cos = ntt_dist.coset_evals_dist(az, "model", plan)
+                b_cos = ntt_dist.coset_evals_dist(bz, "model", plan)
+                c_cos = ntt_dist.coset_evals_dist(cz, "model", plan)
+                c_tight = lm.mont_mul(c_cos, jnp.asarray(FR.one_mont), FR)
+                q_local = lm.sub_n(lm.mont_mul(a_cos, b_cos, FR),
+                                   c_tight, FR)
+                q_plain = jax.lax.all_gather(
+                    lm.from_mont(q_local, FR), "model", axis=0,
+                    tiled=True)                       # (n, 21, T)
+            else:
+                q_plain = quotient_stage(arrays, n, w)
+            wa = pad0(jnp.concatenate([w_plain, r_plain[None]], axis=0), na)
+            ws = jnp.concatenate([w_plain, s_plain[None]], axis=0)
+            ws_b = pad0(ws[b_nz], nb)
+            pa = _sharded_msm(wa, a_tab, "g1", na // nm, "model")
+            pb1 = _sharded_msm(ws_b, b1_tab, "g1", nb // nm, "model")
+            pb = _sharded_msm(ws_b, b2_tab, "g2", nb // nm, "model")
+            neg_rs = neg_rs_scalar(r_plain, s_plain)
+            c_scal = pad0(jnp.concatenate(
+                [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0), nc)
+            pc = _sharded_msm(c_scal, c_tab, "g1", nc // nm, "model")
+            pa_f, pb_f, pc_f = assemble_stage(
+                pa, pb1, pb, pc, r_plain, s_plain, alpha, beta1, beta2)
+            return pa_f, pb_f, pc_f, w_plain[1:1 + npub]
+
+        lane = P(None, None, "data")
+        rsspec = P(None, "data")
+        tabspec = P("model", None)
+        in_specs = [{k: _in_spec(k) for k in _IN_KEYS}, rsspec, rsspec,
+                    tabspec, tabspec, tabspec, tabspec]
+        if dist_ntt:
+            in_specs += [P("model", None), P("model", None),
+                         P("model", None, None, None)] * 3
+        out_specs = (P(None, "data"), P(None, "data"), P(None, "data"),
+                     P(None, None, "data"))
+        return jax.jit(shard_map(fused, mesh=mesh,
+                                 in_specs=tuple(in_specs),
+                                 out_specs=out_specs, check_rep=False))
+
+    def prove_fused(self, inputs: dict, r_arr, s_arr):
+        """Whole-step fused prove (multi-process safe: no eager glue).
+        Same returns as prove_batch_arrays.  In multi-controller runs the
+        internally-built key tables are resharded into global arrays (each
+        process holds an identical host copy; make_global uploads only the
+        addressable shards)."""
+        if not hasattr(self, "_fused"):
+            self._fused = self._build_fused()
+            tabs = (self.a_tab, self.b1_tab, self.b2_tab, self.c_tab)
+            extra = self._row_shards if self._dist_ntt else ()
+            if jax.process_count() > 1:
+                from . import runtime
+                tabs = tuple(runtime.make_global(
+                    np.asarray(t), self.mesh, P("model", None))
+                    for t in tabs)
+                specs = [P("model", None), P("model", None),
+                         P("model", None, None, None)] * 3
+                extra = tuple(runtime.make_global(
+                    np.asarray(a), self.mesh, sp)
+                    for a, sp in zip(extra, specs))
+            self._fused_consts = tabs + extra
+        return self._fused(inputs, r_arr, s_arr, *self._fused_consts)
+
     def prove_batch_arrays(self, inputs: dict, r_arr, s_arr):
         """inputs: batch_to_arrays dict; r/s: (21, B) plain canonical.
         Returns limb-major planes (pi_a (63,B), pi_b (126,B), pi_c (63,B),

@@ -61,6 +61,20 @@ def global_mesh(n_model: int = 1):
                      devices=devs)
 
 
+def make_global(x, mesh, spec):
+    """Full host copy of `x` (identical on every process) -> a globally
+    sharded jax.Array over `mesh` with PartitionSpec `spec`.  This is the
+    multi-host input path: each process uploads only the shards it
+    addresses (jax.make_array_from_callback slices the local copy)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def process_info() -> dict:
     return {
         "process_index": jax.process_index(),
