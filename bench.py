@@ -156,13 +156,13 @@ def stage_breakdown(prover, arrs):
     wa = jnp.concatenate([w_plain, r_arr[None]], axis=0)
     ws = jnp.concatenate([w_plain, s_arr[None]], axis=0)
     ws_b = ws[jnp.asarray(prover.b_nz)]
-    pa = timeit("msm_a_s", prover._msm_jit, wa, prover.a_tab, "g1")
-    pb1 = timeit("msm_b1_s", prover._msm_jit, ws_b, prover.b1_tab, "g1")
-    pb = timeit("msm_b2_s", prover._msm_jit, ws_b, prover.b2_tab, "g2")
+    pa = timeit("msm_a_s", prover._msm, wa, "a")
+    pb1 = timeit("msm_b1_s", prover._msm, ws_b, "b1")
+    pb = timeit("msm_b2_s", prover._msm, ws_b, "b2")
     neg_rs = neg_rs_scalar(r_arr, s_arr)
     c_scalars = jnp.concatenate(
         [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
-    pc = timeit("msm_c_s", prover._msm_jit, c_scalars, prover.c_tab, "g1")
+    pc = timeit("msm_c_s", prover._msm, c_scalars, "c")
     timeit("assemble_s", prover._assemble_jit, pa, pb1, pb, pc, r_arr, s_arr)
 
     msm_pts = (prover.a_tab.shape[0] + 2 * prover.b1_tab.shape[0]

@@ -60,17 +60,17 @@ def main():
     ws = jnp.concatenate([w_plain, s_arr[None]], axis=0)
     ws_b = ws[jnp.asarray(prover.b_nz)]
     pa = timeit(f"msm_g1 A ({prover.a_tab.shape[0]}pts)",
-                prover._msm_jit, wa, prover.a_tab, "g1")
+                prover._msm, wa, "a")
     pb1 = timeit(f"msm_g1 B1 ({prover.b1_tab.shape[0]}pts)",
-                 prover._msm_jit, ws_b, prover.b1_tab, "g1")
+                 prover._msm, ws_b, "b1")
     pb = timeit(f"msm_g2 B2 ({prover.b2_tab.shape[0]}pts)",
-                prover._msm_jit, ws_b, prover.b2_tab, "g2")
+                prover._msm, ws_b, "b2")
 
     neg_rs = neg_rs_scalar(r_arr, s_arr)
     c_scalars = jnp.concatenate(
         [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
     pc = timeit(f"msm_g1 C ({prover.c_tab.shape[0]}pts)",
-                prover._msm_jit, c_scalars, prover.c_tab, "g1")
+                prover._msm, c_scalars, "c")
     timeit("assemble", prover._assemble_jit, pa, pb1, pb, pc, r_arr, s_arr)
 
 

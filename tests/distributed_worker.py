@@ -68,14 +68,26 @@ def main():
     r_g = runtime.make_global(r_np, mesh, P(None, "data"))
     s_g = runtime.make_global(s_np, mesh, P(None, "data"))
 
+    # compile first, then meet at a coordination barrier: compile-time
+    # skew between processes (one hits the persistent cache, the other
+    # compiles for minutes) would otherwise blow the CPU collective
+    # backend's 30 s connect timeout at first execution
+    prover.prove_fused(g_arrs, r_g, s_g, compile_only=True)
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("zkf_compiled", 1800_000)
     pa, pb, pc, publics = prover.prove_fused(g_arrs, r_g, s_g)
 
-    # each process reads ONLY its addressable voter lanes
+    # each process reads ONLY its addressable voter lanes; the lane
+    # shards are replicated over 'model' (4 devices hold the same data
+    # shard) — dedupe by lane index
     def local_lanes(garr):
-        shards = sorted(garr.addressable_shards,
-                        key=lambda s: s.index[-1].start or 0)
-        cols = [int(s.index[-1].start or 0) for s in shards]
-        return np.concatenate([np.asarray(s.data) for s in shards],
+        seen = {}
+        for s in garr.addressable_shards:
+            key = int(s.index[-1].start or 0)
+            if key not in seen:
+                seen[key] = np.asarray(s.data)
+        cols = sorted(seen)
+        return np.concatenate([seen[c] for c in cols],
                               axis=-1), cols[0], garr.shape[-1]
 
     pa_l, col0, _ = local_lanes(pa)
@@ -103,6 +115,10 @@ def main():
     json.dump({"process": pid, "first_voter": col0, "n_local": nloc,
                "verified": ok}, open(out_path, "w"))
     print(f"worker {pid}: voters {col0}..{col0 + nloc - 1} verified={ok}")
+    # explicit synchronized teardown: without it the interpreter-exit
+    # shutdown barrier can time out on worker skew (host-side pairing
+    # verification wall-clock differs between processes)
+    jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

@@ -89,3 +89,22 @@ def test_msm_pow2_chunking(monkeypatch):
     plane = jnp.swapaxes(out[..., 0], 0, 1)
     want = [ec.msm_host(scal[0], pts, ec.G1)]
     assert ec_lm.g1_plane_to_affine(plane) == want
+
+
+def test_msm_g1_coarse_path_m128():
+    """m == 128: the coarse prefix-scan path with NO fine levels."""
+    _run(2, 128, "g1")
+
+
+def test_msm_g1_coarse_path_m256():
+    """m = 256: coarse prefix + 1-level fine walk + affine L0 nodes."""
+    _run(1, 256, "g1")
+
+
+def test_msm_g1_coarse_path_unpadded():
+    """n = 160 -> m = 256 with identity padding through the new path."""
+    _run(1, 160, "g1")
+
+
+def test_msm_g2_coarse_path():
+    _run(1, 130, "g2")

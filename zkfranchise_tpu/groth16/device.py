@@ -154,8 +154,35 @@ class DeviceProver:
 
         self._witness_jit = jax.jit(self._witness_stage)
         self._quotient_jit = jax.jit(self._quotient_stage)
-        self._msm_jit = jax.jit(msm_lm.msm, static_argnums=(2,))
+        # MSMs dispatch per pow2 chunk: one jitted program per
+        # (chunk_size, B, kind) SHARED across the A/B1/C MSMs (the r4
+        # one-jit-per-MSM layout recompiled the dominant 8192-point
+        # program three times — most of its 330 s warm-up)
+        self._chunk_jit = jax.jit(msm_lm.chunk_window_sums,
+                                  static_argnums=(2,))
+        self._combine_jit = jax.jit(msm_lm.combine_horner,
+                                    static_argnums=(1, 2))
+        self._msm_plans = {}
+        for key, tab, kind in (("a", self.a_tab, "g1"),
+                               ("b1", self.b1_tab, "g1"),
+                               ("b2", self.b2_tab, "g2"),
+                               ("c", self.c_tab, "g1")):
+            plan = msm_lm._chunks(tab.shape[0])
+            tabs = [msm_lm.pad_chunk(jnp.zeros((tab.shape[0], N_LIMBS, 1),
+                                               jnp.int32), tab, s, r, m,
+                                     kind)[1]
+                    for (s, r, m) in plan]
+            self._msm_plans[key] = (plan, tabs, kind)
         self._assemble_jit = jax.jit(self._assemble_stage)
+
+    def _msm(self, scalars: jnp.ndarray, key: str) -> jnp.ndarray:
+        """Chunk-dispatched MSM over the proving-key table `key`."""
+        plan, tabs, kind = self._msm_plans[key]
+        B = scalars.shape[-1]
+        ws = [self._chunk_jit(
+            msm_lm.pad_chunk(scalars, None, s, r, m, kind)[0], tab, kind)
+            for (s, r, m), tab in zip(plan, tabs)]
+        return self._combine_jit(ws, kind, B)
 
     # -- stage 1: witness ----------------------------------------------------
     def _witness_stage(self, inputs: dict):
@@ -184,14 +211,14 @@ class DeviceProver:
         wa = jnp.concatenate([w_plain, r_plain[None]], axis=0)
         ws = jnp.concatenate([w_plain, s_plain[None]], axis=0)
         ws_b = ws[jnp.asarray(self.b_nz)]
-        pa = self._msm_jit(wa, self.a_tab, "g1")
-        pb1 = self._msm_jit(ws_b, self.b1_tab, "g1")
-        pb2 = self._msm_jit(ws_b, self.b2_tab, "g2")
+        pa = self._msm(wa, "a")
+        pb1 = self._msm(ws_b, "b1")
+        pb2 = self._msm(ws_b, "b2")
 
         neg_rs = neg_rs_scalar(r_plain, s_plain)
         c_scalars = jnp.concatenate(
             [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
-        pc = self._msm_jit(c_scalars, self.c_tab, "g1")
+        pc = self._msm(c_scalars, "c")
 
         pi_a, pi_b, pi_c = self._assemble_jit(pa, pb1, pb2, pc,
                                               r_plain, s_plain)

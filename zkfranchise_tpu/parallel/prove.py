@@ -297,12 +297,18 @@ class ShardedProver:
                                  in_specs=tuple(in_specs),
                                  out_specs=out_specs, check_rep=False))
 
-    def prove_fused(self, inputs: dict, r_arr, s_arr):
+    def prove_fused(self, inputs: dict, r_arr, s_arr,
+                    compile_only: bool = False):
         """Whole-step fused prove (multi-process safe: no eager glue).
         Same returns as prove_batch_arrays.  In multi-controller runs the
         internally-built key tables are resharded into global arrays (each
         process holds an identical host copy; make_global uploads only the
-        addressable shards)."""
+        addressable shards).
+
+        compile_only: AOT-compile without executing.  Multi-process
+        callers compile first, meet at a coordination barrier, then
+        execute — otherwise compile-time skew between processes can
+        exceed the CPU collective backend's 30 s connect timeout."""
         if not hasattr(self, "_fused"):
             self._fused = self._build_fused()
             tabs = (self.a_tab, self.b1_tab, self.b2_tab, self.c_tab)
@@ -318,6 +324,10 @@ class ShardedProver:
                     np.asarray(a), self.mesh, sp)
                     for a, sp in zip(extra, specs))
             self._fused_consts = tabs + extra
+        if compile_only:
+            self._fused.lower(inputs, r_arr, s_arr,
+                              *self._fused_consts).compile()
+            return None
         return self._fused(inputs, r_arr, s_arr, *self._fused_consts)
 
     def prove_batch_arrays(self, inputs: dict, r_arr, s_arr):
