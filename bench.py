@@ -108,7 +108,8 @@ def main():
     # bench_stages.json next to this file for the roofline analysis
     stages = stage_breakdown(prover, arrs)
     print(f"# stages: {json.dumps(stages)}", file=sys.stderr)
-    with open(ROOT / "bench_stages.json", "w") as f:
+    suffix = "" if N_LEVELS == 16 else f"_{N_LEVELS}"
+    with open(ROOT / f"bench_stages{suffix}.json", "w") as f:
         json.dump({"nlevels": N_LEVELS, "batch": BATCH, **stages}, f, indent=1)
 
     t0 = time.time()
@@ -142,16 +143,28 @@ def stage_breakdown(prover, arrs):
     out = {}
 
     def timeit(name, fn, *args):
-        res = fn(*args)
-        force(res)
-        t0 = time.time()
-        res = fn(*args)
-        force(res)
-        out[name] = round(time.time() - t0, 4)
-        return res
+        """Times the SECOND run (first is warm-up); frees the warm-up
+        result before the timed run and tolerates per-stage OOM (the
+        nlevels=160 config sits near the HBM limit — a failed timing
+        must not lose the whole artifact)."""
+        try:
+            res = fn(*args)
+            force(res)
+            del res
+            t0 = time.time()
+            res = fn(*args)
+            force(res)
+            out[name] = round(time.time() - t0, 4)
+            return res
+        except Exception as e:                      # noqa: BLE001
+            out[name] = None
+            print(f"# stage {name} failed: {str(e)[:120]}",
+                  file=sys.stderr)
+            return fn(*args)
 
-    w, w_plain = timeit("witness_s", prover._witness_jit, arrs)
-    q_plain = timeit("quotient_s", prover._quotient_jit, w)
+    w, w_plain = prover._witness_jit(arrs)
+    q_plain = prover._quotient_jit(w)
+    force(q_plain)
     npub = prover.pk_meta[1]
     wa = jnp.concatenate([w_plain, r_arr[None]], axis=0)
     ws = jnp.concatenate([w_plain, s_arr[None]], axis=0)
@@ -164,12 +177,16 @@ def stage_breakdown(prover, arrs):
         [w_plain[npub + 1:], q_plain, neg_rs[None]], axis=0)
     pc = timeit("msm_c_s", prover._msm, c_scalars, "c")
     timeit("assemble_s", prover._assemble_jit, pa, pb1, pb, pc, r_arr, s_arr)
+    del pa, pb1, pb, pc, wa, ws, ws_b, c_scalars, q_plain
+    timeit("witness_s", prover._witness_jit, arrs)
+    timeit("quotient_s", prover._quotient_jit, w)
 
     msm_pts = (prover.a_tab.shape[0] + 2 * prover.b1_tab.shape[0]
                + prover.c_tab.shape[0]) * BATCH
-    msm_t = out["msm_a_s"] + out["msm_b1_s"] + out["msm_b2_s"] + \
-        out["msm_c_s"]
-    out["msm_mpoints_per_s"] = round(msm_pts / msm_t / 1e6, 3) if msm_t else 0
+    msm_keys = ("msm_a_s", "msm_b1_s", "msm_b2_s", "msm_c_s")
+    msm_t = sum(out.get(k) or 0 for k in msm_keys)
+    out["msm_mpoints_per_s"] = round(msm_pts / msm_t / 1e6, 3) \
+        if msm_t and all(out.get(k) for k in msm_keys) else None
     return out
 
 

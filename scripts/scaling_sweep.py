@@ -55,7 +55,7 @@ ITERS = int(os.environ.get("SWEEP_ITERS", "3"))
 # has 2 cores), so the full pipeline over many meshes can exceed an
 # hour — quotient mode demonstrates the domain-sharded scaling in
 # minutes.
-STAGE = os.environ.get("SWEEP_STAGE", "quotient")
+STAGES = os.environ.get("SWEEP_STAGE", "msm,quotient").split(",")
 
 MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]   # (data, model): 1,2,4,8 devices
 
@@ -73,6 +73,27 @@ def main():
     s = jnp.asarray(lm.ints_to_lm(
         [int(x) for x in rng.integers(1, 2**62, size=BATCH)]))
 
+    sweeps = {}
+    for STAGE in STAGES:
+        sweeps[STAGE] = run_stage(STAGE, circuit, pk, arrs, rng, r, s)
+
+    result = {"nlevels": N_LEVELS, "batch": BATCH,
+              "backend": jax.default_backend(), "sweeps": sweeps,
+              "caveat": (
+                  "all virtual CPU devices share the SAME 2 physical "
+                  "cores, so wall-clock cannot speed up with device "
+                  "count — collectives (all_to_all / all_gather) only "
+                  "ADD serialized copy work here.  The sweep's evidence "
+                  "is (a) every mesh shape compiles and runs the real "
+                  "sharded programs and (b) the communication-volume "
+                  "model below, which is what determines scaling on a "
+                  "real ICI-connected slice."),
+              "comm_model": comm_model(circuit, pk, BATCH)}
+    (ROOT / "scaling.json").write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
+
+
+def run_stage(STAGE, circuit, pk, arrs, rng, r, s):
     rows = []
     base = None
     for nd, nmod in MESHES:
@@ -114,22 +135,8 @@ def main():
             "speedup_vs_1": round(base / dt, 3),
             "parallel_efficiency": round(eff, 3),
         })
-        print(json.dumps(rows[-1]), file=sys.stderr)
-
-    result = {"nlevels": N_LEVELS, "batch": BATCH, "stage": STAGE,
-              "backend": jax.default_backend(), "sweep": rows,
-              "caveat": (
-                  "all virtual CPU devices share the SAME 2 physical "
-                  "cores, so wall-clock cannot speed up with device "
-                  "count — collectives (all_to_all / all_gather) only "
-                  "ADD serialized copy work here.  The sweep's evidence "
-                  "is (a) every mesh shape compiles and runs the real "
-                  "sharded programs and (b) the communication-volume "
-                  "model below, which is what determines scaling on a "
-                  "real ICI-connected slice."),
-              "comm_model": comm_model(circuit, pk, BATCH)}
-    (ROOT / "scaling.json").write_text(json.dumps(result, indent=1))
-    print(json.dumps(result))
+        print(json.dumps({"stage": STAGE, **rows[-1]}), file=sys.stderr)
+    return rows
 
 
 def comm_model(circuit, pk, batch):

@@ -68,13 +68,21 @@ def main():
     r_g = runtime.make_global(r_np, mesh, P(None, "data"))
     s_g = runtime.make_global(s_np, mesh, P(None, "data"))
 
-    # compile first, then meet at a coordination barrier: compile-time
-    # skew between processes (one hits the persistent cache, the other
-    # compiles for minutes) would otherwise blow the CPU collective
-    # backend's 30 s connect timeout at first execution
-    prover.prove_fused(g_arrs, r_g, s_g, compile_only=True)
+    # STAGGERED compile, then a barrier before the first collective:
+    # (a) this box has 2 cores — two processes compiling the same big
+    # program simultaneously starve the coordination service and the
+    # Gloo rendezvous (30 s timeouts); (b) process 0 compiles first and
+    # populates the persistent cache, so process 1's compile is a cache
+    # hit; (c) both meet at a barrier so execution (and Gloo context
+    # init) starts in lockstep.
     from jax._src import distributed as _dist
-    _dist.global_state.client.wait_at_barrier("zkf_compiled", 1800_000)
+    client = _dist.global_state.client
+    if pid == 0:
+        prover.prove_fused(g_arrs, r_g, s_g, compile_only=True)
+    client.wait_at_barrier("zkf_c0", 2400_000)
+    if pid != 0:
+        prover.prove_fused(g_arrs, r_g, s_g, compile_only=True)
+    client.wait_at_barrier("zkf_c1", 2400_000)
     pa, pb, pc, publics = prover.prove_fused(g_arrs, r_g, s_g)
 
     # each process reads ONLY its addressable voter lanes; the lane

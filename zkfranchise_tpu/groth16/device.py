@@ -153,7 +153,17 @@ class DeviceProver:
         self.beta2 = jnp.asarray(ec_lm.g2_table([pk.beta_g2]).T)    # (126,1)
 
         self._witness_jit = jax.jit(self._witness_stage)
-        self._quotient_jit = jax.jit(self._quotient_stage)
+        # the sparse R1CS arrays are jit ARGUMENTS, not closure
+        # constants: baked-in they blow up the serialized program
+        # (~75 MB at nlevels=160 — over the remote-compile body limit)
+        self._arrays_dev = {
+            k: tuple(jnp.asarray(x) for x in self.arrays[k])
+            for k in ("a", "b", "c") if k in self.arrays}
+        n_dom = self.pk_meta[2]
+        self._quotient_raw = jax.jit(
+            lambda arrs, w: quotient_stage(arrs, n_dom, w))
+        self._quotient_jit = lambda w: self._quotient_raw(
+            self._arrays_dev, w)
         # MSMs dispatch per pow2 chunk: one jitted program per
         # (chunk_size, B, kind) SHARED across the A/B1/C MSMs (the r4
         # one-jit-per-MSM layout recompiled the dominant 8192-point

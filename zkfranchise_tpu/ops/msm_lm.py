@@ -254,8 +254,15 @@ def _window_sums(signs, mags, table, kind, G, m, rows):
         # G*B <= 128: measured optimum on the v5e — larger groups
         # (G*B = 256/512) slow every MSM 15-35% (the bigger gather +
         # retained-level working set thrashes HBM harder than the saved
-        # scan dispatches are worth).
-        G = max(1, min(8, 128 // B)) if K.on_tpu() else N_WINDOWS
+        # scan dispatches are worth).  Additionally cap G*B*m <= 2^24
+        # (~2.9 GB point gather at 43 rows): at nlevels=160 the C chunk
+        # is m = 262144, where 128 gather lanes would OOM the chip.
+        if K.on_tpu():
+            lanes_cap = max(1, (1 << 23) // m)
+            G = max(1, min(8, 128 // B, lanes_cap // B))
+            G = 1 << (G.bit_length() - 1)       # divisor of N_WINDOWS
+        else:
+            G = N_WINDOWS
     log_m = m.bit_length() - 1
     # doubled table [P | -P]: sign application is a gather offset, not
     # arithmetic.  The gather and the sum tree's LEVEL 0 stay AFFINE:

@@ -25,14 +25,45 @@ from .lm import FR
 from .pallas import lm_kernels as K
 
 
+MAX_NNZ_CHUNK = 1 << 17
+
+
 def spmv(rows: np.ndarray, cols: np.ndarray, coeffs_mont: np.ndarray,
          n_rows: int, w_mont: jnp.ndarray) -> jnp.ndarray:
-    """rows/cols: (nnz,) int32 static; coeffs_mont: (nnz, 21, 1) int32
-    static R-form coefficients; w_mont: (m, 21, T) Montgomery witness.
+    """rows/cols: (nnz,) int32; coeffs_mont: (nnz, 21, 1) int32 R-form
+    coefficients; w_mont: (m, 21, T) Montgomery witness.
     Returns (n_rows, 21, T) Montgomery row values (rows beyond the last
-    index are zero)."""
-    gathered = w_mont[jnp.asarray(cols)]               # (nnz, 21, T)
-    prods = K.mont_mul(jnp.asarray(coeffs_mont), gathered, FR)
-    seg = jax.ops.segment_sum(prods, jnp.asarray(rows),
-                              num_segments=n_rows)     # (n_rows, 21, T)
-    return lm.weak_norm(seg, 2)
+    index are zero).
+
+    Large systems stream the nonzeros in 2^17-entry chunks under a scan:
+    one materialized (nnz, 21, T) gather at nlevels=160 is ~15 GB
+    (nnz = 1.42M) and OOMs the chip.  Chunk padding uses zero
+    coefficients (contribute nothing to row 0); the accumulator is
+    re-weak-normalized per chunk, so limb growth stays bounded and the
+    VALUE bound (row fan-in * p) is unchanged from the unchunked form."""
+    nnz = int(rows.shape[0])
+    if nnz <= 2 * MAX_NNZ_CHUNK:
+        gathered = w_mont[jnp.asarray(cols)]           # (nnz, 21, T)
+        prods = K.mont_mul(jnp.asarray(coeffs_mont), gathered, FR)
+        seg = jax.ops.segment_sum(prods, jnp.asarray(rows),
+                                  num_segments=n_rows)
+        return lm.weak_norm(seg, 2)
+
+    c = MAX_NNZ_CHUNK
+    k = (nnz + c - 1) // c
+    pad = k * c - nnz
+    R = jnp.pad(jnp.asarray(rows), (0, pad)).reshape(k, c)
+    C = jnp.pad(jnp.asarray(cols), (0, pad)).reshape(k, c)
+    F = jnp.pad(jnp.asarray(coeffs_mont),
+                ((0, pad), (0, 0), (0, 0))).reshape(k, c, lm.N_LIMBS, 1)
+    T = w_mont.shape[-1]
+    acc0 = jnp.zeros((n_rows, lm.N_LIMBS, T), jnp.int32)
+
+    def body(acc, rcf):
+        r, cl, f = rcf
+        prods = K.mont_mul(f, w_mont[cl], FR)
+        seg = jax.ops.segment_sum(prods, r, num_segments=n_rows)
+        return lm.weak_norm(acc + seg, 2), None
+
+    acc, _ = jax.lax.scan(body, acc0, (R, C, F))
+    return acc

@@ -325,9 +325,14 @@ class ShardedProver:
                     for a, sp in zip(extra, specs))
             self._fused_consts = tabs + extra
         if compile_only:
-            self._fused.lower(inputs, r_arr, s_arr,
-                              *self._fused_consts).compile()
+            # keep the executable: a later jit call does NOT reuse an
+            # AOT .lower().compile() result and would recompile
+            self._fused_compiled = self._fused.lower(
+                inputs, r_arr, s_arr, *self._fused_consts).compile()
             return None
+        if getattr(self, "_fused_compiled", None) is not None:
+            return self._fused_compiled(inputs, r_arr, s_arr,
+                                        *self._fused_consts)
         return self._fused(inputs, r_arr, s_arr, *self._fused_consts)
 
     def prove_batch_arrays(self, inputs: dict, r_arr, s_arr):
