@@ -2,11 +2,17 @@
 
 Usage: python distributed_worker.py <coordinator_port> <process_id> <out>
 
-Each of the 2 processes hosts 4 virtual CPU devices (8 global), builds
-the global (data=2 x model=4) mesh, runs ONE fused sharded proving step
-at nlevels=4 over a 4-voter batch (2 voters addressable per process),
+Each of the 2 processes hosts 2 virtual CPU devices (4 global), builds
+the global (data=2 x model=2) mesh, runs ONE fused sharded proving step
+at nlevels=2 over a 4-voter batch (2 voters addressable per process),
 verifies ITS local proofs against the dev verification key, and writes a
 JSON result file the parent test asserts on.
+
+Scale note: the box has 2 physical cores and the CPU collective
+backend's rendezvous times out at 30 s — the config is sized so every
+device's collective-free compute span stays far below that (nlevels=2,
+2 devices/process); the heavier mesh shapes are covered by the
+single-process 8-virtual-device suite.
 """
 import json
 import os
@@ -35,7 +41,7 @@ from zkfranchise_tpu.ops import ec_lm, lm
 from zkfranchise_tpu.parallel import runtime
 from zkfranchise_tpu.parallel.prove import ShardedProver
 
-NL = 4
+NL = 2
 B = 4
 
 
@@ -43,13 +49,13 @@ def main():
     assert runtime.init_distributed(f"localhost:{port}", 2, pid)
     info = runtime.process_info()
     assert info["process_count"] == 2, info
-    assert info["global_devices"] == 8, info
-    mesh = runtime.global_mesh(n_model=4)
+    assert info["global_devices"] == 4, info
+    mesh = runtime.global_mesh(n_model=2)
 
     circuit = CensusCircuit(NL)
-    art = ROOT / "artifacts" / "zkCensus" / "dev" / str(NL)
-    pk = gsetup.ProvingKey.load(art / "proving_key.pkl")
-    vk = gverify.VerifyingKey(json.load(open(art / "verification_key.json")))
+    # dev_setup is deterministic from the seed: both processes derive
+    # the IDENTICAL tiny proving key locally (seconds at nlevels=2)
+    pk, vk = gsetup.dev_setup(circuit.cs)
     prover = ShardedProver(circuit, pk, mesh)
 
     arrs = inp.batch_to_arrays(inp.mock_batch(NL, B, seed=3), NL)
@@ -122,11 +128,14 @@ def main():
 
     json.dump({"process": pid, "first_voter": col0, "n_local": nloc,
                "verified": ok}, open(out_path, "w"))
-    print(f"worker {pid}: voters {col0}..{col0 + nloc - 1} verified={ok}")
-    # explicit synchronized teardown: without it the interpreter-exit
-    # shutdown barrier can time out on worker skew (host-side pairing
-    # verification wall-clock differs between processes)
-    jax.distributed.shutdown()
+    print(f"worker {pid}: voters {col0}..{col0 + nloc - 1} verified={ok}",
+          flush=True)
+    # meet once more so neither process dies while the other still has
+    # collectives in flight (peer death poisons the coordination
+    # client), then hard-exit to skip the interpreter-exit shutdown
+    # barrier race entirely
+    client.wait_at_barrier("zkf_done", 2400_000)
+    os._exit(0)
 
 
 if __name__ == "__main__":

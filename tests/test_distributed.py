@@ -1,4 +1,4 @@
-"""Two-process jax.distributed test (CPU, 4 virtual devices each).
+"""Two-process jax.distributed test (CPU, 2 virtual devices each).
 
 Closes r4 review missing-item #5: parallel/runtime.py's bootstrap, the
 global (hosts x chips) mesh, and cross-process sharding semantics are
@@ -27,7 +27,13 @@ def _worker_env():
     env.pop("PALLAS_AXON_POOL_IPS", None)      # no TPU backend
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=4")
+                        + " --xla_force_host_platform_device_count=2"
+                        + " --xla_cpu_multi_thread_eigen=false")
+    # this box has 2 cores: without thread caps the 8 virtual devices'
+    # pools starve the coordination-service thread and Gloo context
+    # init times out (30 s) during execution
+    env["OMP_NUM_THREADS"] = "1"
+    env["OPENBLAS_NUM_THREADS"] = "1"
     env["JAX_COMPILATION_CACHE_DIR"] = str(HERE.parent / ".jax_cache")
     env["PYTHONPATH"] = str(HERE.parent) + os.pathsep + \
         env.get("PYTHONPATH", "")

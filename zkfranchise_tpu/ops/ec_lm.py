@@ -157,6 +157,50 @@ def _round3_fq(t3, t4, y3b, t1, z3, x3, fs, b3):
     return x3o, y3o, z3o
 
 
+def _round3_fq2(t3, t4, y3b, t1, z3, x3, fs, b3):
+    """RCB15 round 3 over Fq2, fully lazy: the three Fq2 combinations
+    (x3 = T3·T1 − T4·Y3b, y3 = Y3b·X3 + T1·Z3, z3 = Z3·T4 + X3·T3)
+    expand to 24 wide Fq products and SIX Montgomery reductions (one per
+    output component) instead of 24 wides + 12 reductions.  Signs fold
+    into pre-product sub_d2 negations; each reduction input is a sum of
+    four weak-normalized wides (columns < 2^15.1, T0 < 2^519 << the
+    R*2^257 reduce budget); outputs < p + 2^246."""
+    wn = lm.weak_norm
+    d2 = jnp.asarray(fs.sub_d2)
+
+    def sp(v):
+        return v[..., :NL, :], v[..., NL:, :]
+
+    def n2(v):
+        return wn(d2 - v)
+
+    L, R = [], []
+    for a, b, c, d, minus in (
+            (t3, t1, t4, y3b, True),     # x3o = A·B − C·D
+            (y3b, x3, t1, z3, False),    # y3o = A·B + C·D
+            (z3, t4, x3, t3, False)):    # z3o = A·B + C·D
+        a0, a1 = sp(a)
+        b0, b1 = sp(b)
+        c0, c1 = sp(c)
+        d0, d1 = sp(d)
+        # re: (a0b0 - a1b1) ± (c0d0 - c1d1)
+        L += [a0, a1, c0, c1]
+        R += [b0, n2(b1)] + ([n2(d0), d1] if minus else [d0, n2(d1)])
+        # im: (a0b1 + a1b0) ± (c0d1 + c1d0)
+        L += [a0, a1, c0, c1]
+        R += [b1, b0] + ([n2(d1), n2(d0)] if minus else [d1, d0])
+    w = wn(lm.wide_mul(jnp.stack(L, axis=-3), jnp.stack(R, axis=-3)), 2)
+    outs = []
+    for i in range(3):
+        o = i * 8
+        re = lm.mont_reduce(w[..., o + 0, :, :] + w[..., o + 1, :, :] +
+                            w[..., o + 2, :, :] + w[..., o + 3, :, :], fs)
+        im = lm.mont_reduce(w[..., o + 4, :, :] + w[..., o + 5, :, :] +
+                            w[..., o + 6, :, :] + w[..., o + 7, :, :], fs)
+        outs.append(jnp.concatenate([re, im], axis=-2))
+    return tuple(outs)
+
+
 def _round3_generic(t3, t4, y3b, t1, z3, x3, fs, b3, mul_stack, fsub_n):
     q = mul_stack([t3, t4, y3b, t1, z3, x3],
                   [t1, y3b, x3, z3, t4, t3], fs, b3)
@@ -185,6 +229,8 @@ def _padd(x1, y1, z1, x2, y2, z2, mul_stack, fsub_n, b3, fs):
     # round 3: 6 products (lazy-reduced in the Fq case)
     if mul_stack is _mul_stack_fq:
         return _round3_fq(t3, t4, y3b, t1, z3, x3, fs, b3)
+    if mul_stack is _mul_stack_fq2:
+        return _round3_fq2(t3, t4, y3b, t1, z3, x3, fs, b3)
     return _round3_generic(t3, t4, y3b, t1, z3, x3, fs, b3,
                            mul_stack, fsub_n)
 
@@ -212,6 +258,8 @@ def _padd_aa(x1, y1, x2, y2, mul_stack, fsub_n, b3, fs):
     t1 = fsub_n(t1, b3b, fs)
     if mul_stack is _mul_stack_fq:
         return _round3_fq(t3, t4, y3b, t1, z3, x3, fs, b3)
+    if mul_stack is _mul_stack_fq2:
+        return _round3_fq2(t3, t4, y3b, t1, z3, x3, fs, b3)
     return _round3_generic(t3, t4, y3b, t1, z3, x3, fs, b3,
                            mul_stack, fsub_n)
 
