@@ -2,17 +2,24 @@
 
 Usage: python distributed_worker.py <coordinator_port> <process_id> <out>
 
-Each of the 2 processes hosts 2 virtual CPU devices (4 global), builds
-the global (data=2 x model=2) mesh, runs ONE fused sharded proving step
-at nlevels=2 over a 4-voter batch (2 voters addressable per process),
-verifies ITS local proofs against the dev verification key, and writes a
-JSON result file the parent test asserts on.
+Each of the 2 processes hosts ONE CPU device (2 global), builds the
+global (data=2 x model=1) mesh, runs ONE fused sharded proving step at
+nlevels=2 over a 4-voter batch (2 voters addressable per process),
+verifies ITS local proofs against the dev verification key, checks a
+small explicit cross-process psum over the data axis, and writes a JSON
+result file the parent test asserts on.
 
 Scale note: the box has 2 physical cores and the CPU collective
-backend's rendezvous times out at 30 s — the config is sized so every
-device's collective-free compute span stays far below that (nlevels=2,
-2 devices/process); the heavier mesh shapes are covered by the
-single-process 8-virtual-device suite.
+backend's (Gloo) rendezvous times out at 30 s per context.  The fused
+prove at model>1 creates many contexts whose inits race against
+minutes of per-device compute on starved cores, so THIS test scopes the
+prove to data-parallel (model=1: cross-process sharding, global arrays,
+SPMD dispatch, per-process verification) and exercises the actual
+cross-process collective with a small dedicated psum program; model-axis
+collectives (sharded MSM combine, distributed NTT all_to_all) are
+covered on the single-process 8-virtual-device mesh
+(tests/test_device_prover.py, tests/test_ntt_dist.py, the driver
+dryrun) where rendezvous cannot starve.
 """
 import json
 import os
@@ -49,8 +56,8 @@ def main():
     assert runtime.init_distributed(f"localhost:{port}", 2, pid)
     info = runtime.process_info()
     assert info["process_count"] == 2, info
-    assert info["global_devices"] == 4, info
-    mesh = runtime.global_mesh(n_model=2)
+    assert info["global_devices"] == 2, info
+    mesh = runtime.global_mesh(n_model=1)
 
     circuit = CensusCircuit(NL)
     # dev_setup is deterministic from the seed: both processes derive
@@ -91,6 +98,17 @@ def main():
     client.wait_at_barrier("zkf_c1", 2400_000)
     pa, pb, pc, publics = prover.prove_fused(g_arrs, r_g, s_g)
 
+    # explicit cross-process collective: psum over the data axis (one
+    # 2-member Gloo group spanning both processes, sub-second program)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P2
+    xs = runtime.make_global(np.arange(8, dtype=np.int32), mesh,
+                             P2("data"))
+    total = jax.jit(shard_map(
+        lambda v: jax.lax.psum(v.sum(), "data"),
+        mesh=mesh, in_specs=P2("data"), out_specs=P2()))(xs)
+    psum_ok = int(np.asarray(total.addressable_shards[0].data)) == 28
+
     # each process reads ONLY its addressable voter lanes; the lane
     # shards are replicated over 'model' (4 devices hold the same data
     # shard) — dedupe by lane index
@@ -127,7 +145,7 @@ def main():
         ok.append(bool(gverify.verify(vk, proof, signals)))
 
     json.dump({"process": pid, "first_voter": col0, "n_local": nloc,
-               "verified": ok}, open(out_path, "w"))
+               "verified": ok, "psum_ok": psum_ok}, open(out_path, "w"))
     print(f"worker {pid}: voters {col0}..{col0 + nloc - 1} verified={ok}",
           flush=True)
     # meet once more so neither process dies while the other still has

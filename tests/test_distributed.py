@@ -1,4 +1,4 @@
-"""Two-process jax.distributed test (CPU, 2 virtual devices each).
+"""Two-process jax.distributed test (CPU, one device each).
 
 Closes r4 review missing-item #5: parallel/runtime.py's bootstrap, the
 global (hosts x chips) mesh, and cross-process sharding semantics are
@@ -27,7 +27,7 @@ def _worker_env():
     env.pop("PALLAS_AXON_POOL_IPS", None)      # no TPU backend
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=2"
+                        + " --xla_force_host_platform_device_count=1"
                         + " --xla_cpu_multi_thread_eigen=false")
     # this box has 2 cores: without thread caps the 8 virtual devices'
     # pools starve the coordination-service thread and Gloo context
@@ -76,3 +76,4 @@ def test_two_process_distributed_prove(tmp_path):
     assert results[0]["first_voter"] == 0
     assert results[1]["first_voter"] == 2
     assert all(all(r["verified"]) for r in results), results
+    assert all(r["psum_ok"] for r in results), results
