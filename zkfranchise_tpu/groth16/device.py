@@ -24,6 +24,9 @@ runs on host.
 """
 from __future__ import annotations
 
+import os
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,6 +175,7 @@ class DeviceProver:
                                   static_argnums=(2,))
         self._combine_jit = jax.jit(msm_lm.combine_horner,
                                     static_argnums=(1, 2))
+        self._prog_cache = {}
         self._msm_plans = {}
         for key, tab, kind in (("a", self.a_tab, "g1"),
                                ("b1", self.b1_tab, "g1"),
@@ -189,10 +193,29 @@ class DeviceProver:
         """Chunk-dispatched MSM over the proving-key table `key`."""
         plan, tabs, kind = self._msm_plans[key]
         B = scalars.shape[-1]
-        ws = [self._chunk_jit(
+        ws = [self._chunk_call(
             msm_lm.pad_chunk(scalars, None, s, r, m, kind)[0], tab, kind)
             for (s, r, m), tab in zip(plan, tabs)]
         return self._combine_jit(ws, kind, B)
+
+    def _chunk_call(self, sc, tab, kind):
+        """chunk_window_sums through the traced-program snapshot cache
+        (utils/progcache): the XLA cache only skips backend compile —
+        re-TRACING the big chunk programs was most of the ~290 s warm
+        start.  TPU only; CPU tests keep the plain jit."""
+        if not K.on_tpu():
+            return self._chunk_jit(sc, tab, kind)
+        ck = (kind, sc.shape, tab.shape)
+        fn = self._prog_cache.get(ck)
+        if fn is None:
+            from ..utils import progcache
+            cache_dir = pathlib.Path(os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", ".jax_cache")) / "exports"
+            fn = progcache.exported_call(
+                f"msm_chunk_{kind}_{sc.shape[0]}x{sc.shape[-1]}",
+                self._chunk_jit, (sc, tab, kind), cache_dir)
+            self._prog_cache[ck] = fn
+        return fn(sc, tab)
 
     # -- stage 1: witness ----------------------------------------------------
     def _witness_stage(self, inputs: dict):
